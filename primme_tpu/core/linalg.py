@@ -1,0 +1,283 @@
+"""Dense numerics substrate: masked kernels under static shapes.
+
+Replaces the reference's ``src/linalg`` (``Num_*_Sprimme`` BLAS/LAPACK
+wrappers) with pure-JAX masked dense kernels. The central design move for
+TPU: PRIMME's *dynamic* basis size (``basisSize`` growing/shrinking every
+iteration) becomes a **traced scalar + column masks over fixed-shape
+arrays** — inactive columns are kept *exactly zero*, which makes most
+masking free (a zero column contributes nothing to any Gram product or
+basis combination) and keeps every op a full-size MXU matmul that XLA
+compiles once.
+
+Key kernels:
+
+* :func:`block_ortho` — B-orthonormalization of a block against the basis
+  and locked vectors: iterated block classical Gram-Schmidt + CholeskyQR
+  with rank-deficiency recovery by random replacement. Reference:
+  ``Bortho_block_Sprimme`` (``src/eigs/ortho.c:429``) incl. the random
+  substitution path (``src/eigs/main_iter.c:693-728``).
+* :func:`solve_H_rr` — masked Rayleigh-Ritz: dense eigendecomposition of
+  the active block of H with target-aware sorting. Reference:
+  ``solve_H_RR`` (``src/eigs/solve_projection.c:188``).
+* :func:`compute_residuals` — the fused X/R/norms hot kernel. Reference:
+  ``Num_update_VWXR_Sprimme`` (``src/eigs/auxiliary_eigs_normal.c:155``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Target
+
+
+def real_dtype(dtype) -> jnp.dtype:
+    return jnp.dtype(jnp.zeros((), dtype=dtype).real.dtype)
+
+
+def machine_eps(dtype) -> float:
+    return float(jnp.finfo(real_dtype(dtype)).eps)
+
+
+def _herm(X):
+    return X.conj().swapaxes(-1, -2)
+
+
+def col_mask(width: int, active: jax.Array, dtype=jnp.bool_) -> jax.Array:
+    """[width] mask: index < active."""
+    return (jnp.arange(width) < active).astype(dtype)
+
+
+def mask_cols(X: jax.Array, active: jax.Array) -> jax.Array:
+    """Zero out columns with index >= active."""
+    return jnp.where(col_mask(X.shape[1], active)[None, :], X, 0)
+
+
+def gram(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """X^H Y at full accumulation precision. Orthogonality hinges on these
+    inner products, so on TPU we force HIGHEST (multi-pass f32) rather than
+    the default bf16-pass matmul. Under row-sharding XLA turns this into a
+    local gemm + all-reduce (the reference's gemm + ``globalSum``,
+    ``src/eigs/update_projection.c:136``)."""
+    return jnp.matmul(_herm(X), Y, preferred_element_type=X.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def bcomb(V: jax.Array, C: jax.Array) -> jax.Array:
+    """Basis combination V @ C at HIGHEST precision (used for basis updates,
+    where low-precision drift would break orthonormality)."""
+    return jnp.matmul(V, C, preferred_element_type=V.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Block B-orthonormalization
+# ---------------------------------------------------------------------------
+
+class OrthoResult(NamedTuple):
+    X: jax.Array          # orthonormalized block [n, bs]
+    BX: jax.Array         # B @ X (alias of X when B is None)
+    n_random: jax.Array   # how many columns were replaced by random vectors
+
+
+def _chol_qr(X, BX, active_bs, thresh2):
+    """One CholeskyQR pass on the active columns of X, with deficiency
+    detection. ``thresh2`` is a per-column squared-norm floor (relative to
+    the pre-projection column norms, Daniel's-test style). Returns
+    (X, BX, bad_mask) where bad_mask marks columns whose B-norm collapsed
+    (linearly dependent — candidates for random replacement, cf. ortho.c's
+    Daniel's-test failure path)."""
+    bs = X.shape[1]
+    G = gram(X, BX)
+    d = jnp.real(jnp.diagonal(G))
+    amask = col_mask(bs, active_bs)
+    # A column is "bad" if its projected norm collapsed or went non-finite.
+    bad = ((d <= thresh2) | ~jnp.isfinite(d)) & amask
+    # Regularize: bad/inactive columns get identity rows/cols so chol succeeds.
+    unit = jnp.where(bad | ~amask, 1.0, 0.0)
+    keep = (~(bad | ~amask)).astype(X.dtype)
+    Gs = G * keep[:, None] * keep[None, :] + jnp.diag(unit).astype(X.dtype)
+    L = jnp.linalg.cholesky(Gs)  # lower, Gs = L L^H
+    # X <- X L^{-H} so that X^H B X = I on the good active columns.
+    Xn = _herm(jax.scipy.linalg.solve_triangular(L, _herm(X), lower=True))
+    BXn = _herm(jax.scipy.linalg.solve_triangular(L, _herm(BX), lower=True))
+    # Bad / inactive columns are zeroed (they were fed the identity).
+    good = (amask & ~bad).astype(X.dtype)
+    return Xn * good[None, :], BXn * good[None, :], bad
+
+
+def block_ortho(X: jax.Array,
+                basis: Tuple[jax.Array, jax.Array],
+                locked: Optional[Tuple[jax.Array, jax.Array]],
+                active_bs: jax.Array,
+                key: jax.Array,
+                Bop=None,
+                n_iters: int = 2,
+                ) -> OrthoResult:
+    """B-orthonormalize ``X[:, :active_bs]`` against ``basis=(V, BV)``
+    (inactive columns of V are exactly zero), ``locked=(Q, BQ)`` and
+    internally.
+
+    Iterated block classical Gram-Schmidt (``n_iters`` project-out passes,
+    the reference reorthogonalizes once more on Daniel's test failure —
+    two passes is the robust fixed-count equivalent) followed by
+    CholeskyQR. Columns found dependent are replaced with random vectors
+    and re-orthogonalized one extra round (``ortho.c`` random substitution
+    + ``main_iter.c:693-728``).
+    """
+    V, BV = basis
+    n = X.shape[0]
+    rdt = real_dtype(X.dtype)
+    meps = machine_eps(X.dtype)
+
+    def project_out(X, BX):
+        ov = gram(BV, X)              # [mmax, bs]; inactive rows exactly 0
+        X = X - bcomb(V, ov)
+        if Bop is None:
+            BX = X
+        else:
+            BX = BX - bcomb(BV, ov)
+        if locked is not None:
+            Q, BQ = locked
+            oq = gram(BQ, X)
+            X = X - bcomb(Q, oq)
+            if Bop is None:
+                BX = X
+            else:
+                BX = BX - bcomb(BQ, oq)
+        return X, BX
+
+    # Reference norms for dependence detection (before projection).
+    BX = Bop.matmat(X) if Bop is not None else X
+    nrm0_2 = jnp.maximum(jnp.real(jnp.sum(X.conj() * BX, axis=0)),
+                         jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+    thresh2 = (meps ** 2 * 64.0) * nrm0_2
+
+    total_bad = jnp.zeros((), jnp.int32)
+    for it in range(n_iters):
+        X, BX = project_out(X, BX)
+        X, BX, bad = _chol_qr(X, BX, active_bs, thresh2)
+        if it == 0:
+            # Replace dependent columns with fresh random vectors; the next
+            # pass re-orthogonalizes them.
+            nbad = jnp.sum(bad.astype(jnp.int32))
+            total_bad = total_bad + nbad
+            key, sub = jax.random.split(key)
+            if jnp.issubdtype(X.dtype, jnp.complexfloating):
+                rnd = (jax.random.normal(sub, (n, X.shape[1]), rdt) +
+                       1j * jax.random.normal(
+                           jax.random.fold_in(sub, 1), (n, X.shape[1]), rdt)
+                       ).astype(X.dtype)
+            else:
+                rnd = jax.random.normal(sub, (n, X.shape[1]), X.dtype)
+            rnd = rnd / jnp.sqrt(jnp.asarray(n, rdt)).astype(X.dtype)
+            X = jnp.where(bad[None, :], rnd, X)
+            if Bop is not None:
+                BX = jnp.where(bad[None, :], Bop.matmat(rnd), BX)
+            else:
+                BX = X
+            # Columns are now unit-B-norm (or fresh randoms ~ unit norm):
+            # subsequent passes test against an O(1) reference.
+            thresh2 = jnp.full_like(thresh2, meps ** 2 * 64.0)
+    return OrthoResult(X=X, BX=BX, n_random=total_bad)
+
+
+# ---------------------------------------------------------------------------
+# Projected (small dense) eigenproblem with masking + target sort
+# ---------------------------------------------------------------------------
+
+def target_sort_keys(w: jax.Array, target: Target, shifts: jax.Array,
+                     shift_idx: jax.Array) -> jax.Array:
+    """Sort keys so that ``argsort(keys)`` orders Ritz values by target
+    preference. ``shifts`` is a padded [max_shifts] vector; ``shift_idx``
+    selects the shift for the pair currently sought (PRIMME uses
+    ``targetShifts[min(i, numShifts-1)]`` while seeking the i-th value,
+    cf. ``src/eigs/auxiliary_eigs.c`` sort routines)."""
+    if target == Target.smallest:
+        return w
+    if target == Target.largest:
+        return -w
+    s = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
+    d = w - s
+    big = jnp.asarray(jnp.finfo(w.dtype).max / 8, w.dtype)
+    if target == Target.closest_abs:
+        return jnp.abs(d)
+    if target == Target.largest_abs:
+        return -jnp.abs(d)
+    if target == Target.closest_geq:
+        return jnp.where(d >= 0, d, big - d)
+    if target == Target.closest_leq:
+        return jnp.where(d <= 0, -d, big + d)
+    raise ValueError(target)
+
+
+class ProjectedSolution(NamedTuple):
+    hvals: jax.Array   # [mmax] Ritz values, target-sorted; inactive -> +inf pad
+    hvecs: jax.Array   # [mmax, mmax] coefficient vectors (columns), sorted
+    active: jax.Array  # [mmax] bool, col j is a real (in-basis) pair
+
+
+def solve_H_rr(H: jax.Array, b: jax.Array, target: Target,
+               shifts: jax.Array, shift_idx: jax.Array) -> ProjectedSolution:
+    """Rayleigh-Ritz on the active ``b x b`` block of ``H`` under static
+    shapes (``solve_H_RR``, ``src/eigs/solve_projection.c:188``).
+
+    The inactive diagonal is filled with a decoupled sentinel ramp; after
+    ``eigh`` the sentinel pairs are identified by eigenvector support (not
+    by value — robust whatever the spectrum) and sorted last.
+    """
+    mmax = H.shape[0]
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    Hm = jnp.where(am2, H, 0)
+    # Sentinel ramp, scaled above the active spectrum, exactly decoupled.
+    scale = 2.0 * jnp.max(jnp.abs(Hm)) + 1.0
+    ramp = (1.0 + jnp.arange(mmax, dtype=real_dtype(H.dtype))) * scale
+    Hm = Hm + jnp.diag(jnp.where(amask, 0, ramp)).astype(H.dtype)
+    w, Z = jnp.linalg.eigh(Hm)
+    # A column is a sentinel pair iff its support lives on inactive coords.
+    support_inactive = jnp.sum(
+        jnp.abs(Z) ** 2 * (~amask).astype(w.dtype)[:, None], axis=0)
+    is_pad = support_inactive > 0.5
+    keys = target_sort_keys(w, target, shifts.astype(w.dtype), shift_idx)
+    inf = jnp.asarray(jnp.finfo(w.dtype).max, w.dtype)
+    keys = jnp.where(is_pad, inf, keys)
+    order = jnp.argsort(keys)
+    w = w[order]
+    Z = Z[:, order]
+    is_pad = is_pad[order]
+    # Zero padded coefficient columns so downstream gemms ignore them.
+    Z = Z * (~is_pad).astype(Z.dtype)[None, :]
+    w = jnp.where(is_pad, inf, w)
+    return ProjectedSolution(hvals=w, hvecs=Z, active=~is_pad)
+
+
+# ---------------------------------------------------------------------------
+# Fused candidate residuals (Num_update_VWXR analogue)
+# ---------------------------------------------------------------------------
+
+class Candidates(NamedTuple):
+    X: jax.Array         # Ritz vectors        [n, c]
+    WX: jax.Array        # A X                 [n, c]
+    BX: jax.Array        # B X (alias X if B None)
+    R: jax.Array         # residuals W h - B X diag(lambda)
+    resnorms: jax.Array  # [c] 2-norms of R columns
+
+
+def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
+    """Fused computation of candidate Ritz vectors and residuals: three
+    gemms sharing the coefficient block + one elementwise pass — the TPU
+    shape of ``Num_update_VWXR_Sprimme``
+    (``src/eigs/auxiliary_eigs_normal.c:101-155``). ``hvecs_c`` is
+    ``[mmax, c]``, ``hvals_c`` ``[c]`` (padded entries must have zero
+    coefficient columns)."""
+    X = bcomb(V, hvecs_c)
+    WX = bcomb(W, hvecs_c)
+    BX = X if BV is None else bcomb(BV, hvecs_c)
+    lam = jnp.where(jnp.isfinite(hvals_c), hvals_c, 0).astype(X.dtype)
+    R = WX - BX * lam[None, :]
+    resnorms = jnp.linalg.norm(R, axis=0)
+    return Candidates(X=X, WX=WX, BX=BX, R=R, resnorms=jnp.real(resnorms))

@@ -1,0 +1,410 @@
+"""Operator layer: block-matvec linear operators and preconditioners.
+
+The reference inverts control — the user supplies ``matrixMatvec``,
+``applyPreconditioner`` and ``massMatrixMatvec`` C callbacks inside
+``primme_params`` (``include/primme_eigs.h:166-253``) and the library calls
+back for every application. Here the same inversion is functional: an
+operator is anything implementing the :class:`LinearOperator` protocol —
+a pytree-of-arrays plus a pure ``matmat(X)`` on an ``[n, k]`` block —
+traceable under ``jit`` so the whole solve compiles to one XLA program.
+
+Everything is **block-first** (SpMM, not SpMV): TPUs want multi-vector
+operands feeding the MXU, matching the reference's ``maxBlockSize`` blocking
+(``src/eigs/main_iter.c:527-575``).
+
+Concrete operators:
+
+* :class:`DenseOperator` — explicit matrix, one big MXU matmul.
+* :class:`ELLOperator` — padded-row sparse (gather + fused multiply-add);
+  the general-sparse workhorse, TPU-native replacement of the test
+  harness's CSR + Sparskit ``amux`` (``tests/COMMON/matvec.f``).
+* :class:`Stencil3DOperator` — 7-point 3D Laplacian applied by shifted
+  slices; speed-of-light (no indices at all) for the grid benchmarks.
+* :class:`DiagonalOperator` — diagonal matrices / Jacobi preconditioner.
+* :class:`ShiftedPrecond` — wraps a diagonal into the shift-aware
+  approximate inverse (A - sigma B)^{-1} the correction equation wants
+  (the reference feeds shifts via ``ShiftsForPreconditioner``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _as_block(x):
+    """Promote a vector to a 1-column block; return (block, was_vector)."""
+    if x.ndim == 1:
+        return x[:, None], True
+    return x, False
+
+
+@jax.tree_util.register_pytree_node_class
+class LinearOperator:
+    """Base class: square (or rectangular) operator with block apply.
+
+    Subclasses store their arrays as pytree leaves so operators can be
+    closed over or passed through ``jit`` boundaries and sharded.
+    """
+
+    shape: Tuple[int, int]
+    dtype: Any
+
+    # -- pytree plumbing (subclasses override _leaves/_aux) -------------
+    def tree_flatten(self):
+        return self._leaves(), self._aux()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj._init_from(leaves, aux)
+        return obj
+
+    def _leaves(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _aux(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _init_from(self, leaves, aux):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- user surface ----------------------------------------------------
+    def matmat(self, X: jax.Array) -> jax.Array:  # pragma: no cover
+        raise NotImplementedError
+
+    def rmatmat(self, X: jax.Array) -> jax.Array:
+        """Adjoint block apply (A^H X). Default: square Hermitian."""
+        if self.shape[0] != self.shape[1]:
+            raise NotImplementedError
+        return self.matmat(X)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xb, was_vec = _as_block(x)
+        y = self.matmat(xb)
+        return y[:, 0] if was_vec else y
+
+    def diagonal(self) -> Optional[jax.Array]:
+        """Main diagonal if cheaply available (for Jacobi precond)."""
+        return None
+
+    def to_dense(self) -> jax.Array:
+        n = self.shape[1]
+        return self.matmat(jnp.eye(n, dtype=self.dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOperator(LinearOperator):
+    """Explicit (dense) matrix operator; one MXU matmul per apply."""
+
+    def __init__(self, A):
+        self.A = jnp.asarray(A)
+        self.shape = tuple(self.A.shape)
+        self.dtype = self.A.dtype
+
+    def _leaves(self):
+        return (self.A,)
+
+    def _aux(self):
+        return None
+
+    def _init_from(self, leaves, aux):
+        (self.A,) = leaves
+        self.shape = tuple(self.A.shape)
+        self.dtype = self.A.dtype
+
+    def matmat(self, X):
+        return self.A @ X
+
+    def rmatmat(self, X):
+        return self.A.conj().T @ X
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
+
+    def to_dense(self):
+        return self.A
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagonalOperator(LinearOperator):
+    """Diagonal matrix; elementwise block scale (VPU)."""
+
+    def __init__(self, d):
+        self.d = jnp.asarray(d)
+        n = self.d.shape[0]
+        self.shape = (n, n)
+        self.dtype = self.d.dtype
+
+    def _leaves(self):
+        return (self.d,)
+
+    def _aux(self):
+        return None
+
+    def _init_from(self, leaves, aux):
+        (self.d,) = leaves
+        self.shape = (self.d.shape[0],) * 2
+        self.dtype = self.d.dtype
+
+    def matmat(self, X):
+        return self.d[:, None] * X
+
+    def rmatmat(self, X):
+        return self.d.conj()[:, None] * X
+
+    def diagonal(self):
+        return self.d
+
+
+@jax.tree_util.register_pytree_node_class
+class ELLOperator(LinearOperator):
+    """ELLPACK sparse operator: per-row padded column indices + values.
+
+    ``cols``: int32 ``[n, w]``, ``vals``: ``[n, w]`` where ``w`` is the max
+    nnz per row; padding entries have ``vals == 0`` and ``cols`` pointing at
+    row 0 (harmless gather). Apply is ``sum_k vals[:, k] * X[cols[:, k], :]``
+    — a gather plus fused multiply-adds, all static shapes, which XLA maps
+    well onto the VPU. Replaces the reference test harness's CSR matvec
+    (``tests/COMMON/matvec.f`` ``amux``) with a layout TPUs can stream.
+    """
+
+    def __init__(self, cols, vals, shape=None):
+        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+        self.vals = jnp.asarray(vals)
+        n = self.cols.shape[0]
+        self.shape = tuple(shape) if shape is not None else (n, n)
+        self.dtype = self.vals.dtype
+
+    def _leaves(self):
+        return (self.cols, self.vals)
+
+    def _aux(self):
+        return self.shape
+
+    def _init_from(self, leaves, aux):
+        self.cols, self.vals = leaves
+        self.shape = aux
+        self.dtype = self.vals.dtype
+
+    def matmat(self, X):
+        # [n, w, k] gather then weighted reduction over w.
+        gathered = X[self.cols, :]                     # [n, w, k]
+        return jnp.einsum("nw,nwk->nk", self.vals, gathered)
+
+    def diagonal(self):
+        isdiag = self.cols == jnp.arange(self.shape[0], dtype=jnp.int32)[:, None]
+        return jnp.sum(jnp.where(isdiag, self.vals, 0), axis=1)
+
+    @staticmethod
+    def from_scipy(A) -> "ELLOperator":
+        """Build from any scipy sparse matrix (host-side)."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        row_nnz = np.diff(A.indptr)
+        w = max(int(row_nnz.max()), 1)
+        cols = np.zeros((n, w), dtype=np.int32)
+        vals = np.zeros((n, w), dtype=A.dtype)
+        for i in range(n):
+            s, e = A.indptr[i], A.indptr[i + 1]
+            cols[i, : e - s] = A.indices[s:e]
+            vals[i, : e - s] = A.data[s:e]
+        return ELLOperator(cols, vals, shape=A.shape)
+
+    @staticmethod
+    def from_coo(rows, cols, vals, shape) -> "ELLOperator":
+        import scipy.sparse as sp
+
+        A = sp.coo_matrix((vals, (rows, cols)), shape=shape)
+        return ELLOperator.from_scipy(A)
+
+
+@jax.tree_util.register_pytree_node_class
+class Stencil3DOperator(LinearOperator):
+    """7-point 3D Laplacian stencil on an ``nx*ny*nz`` grid (Dirichlet).
+
+    Matvec by shifted slices of the 3-D view — zero index traffic, pure
+    VPU adds, and under row-sharding XLA lowers the axis-0 shifts to
+    neighbor ``ppermute`` halo exchanges over ICI. This is the TPU-native
+    answer to the benchmark configs' "128^3 Laplacian" (BASELINE.md).
+    """
+
+    def __init__(self, nx, ny, nz, dtype=jnp.float32, scale=1.0):
+        self.nx, self.ny, self.nz = nx, ny, nz
+        self._scale = scale
+        n = nx * ny * nz
+        self.shape = (n, n)
+        self.dtype = jnp.dtype(dtype)
+
+    def _leaves(self):
+        return ()
+
+    def _aux(self):
+        return (self.nx, self.ny, self.nz, str(self.dtype), self._scale)
+
+    def _init_from(self, leaves, aux):
+        self.nx, self.ny, self.nz, dt, self._scale = aux
+        n = self.nx * self.ny * self.nz
+        self.shape = (n, n)
+        self.dtype = jnp.dtype(dt)
+
+    def matmat(self, X):
+        k = X.shape[1]
+        g = X.reshape(self.nx, self.ny, self.nz, k).astype(self.dtype)
+        out = 6.0 * g
+        zeros = jnp.zeros_like(g[:1])
+        out = out - jnp.concatenate([g[1:], zeros], axis=0)
+        out = out - jnp.concatenate([zeros, g[:-1]], axis=0)
+        zy = jnp.zeros_like(g[:, :1])
+        out = out - jnp.concatenate([g[:, 1:], zy], axis=1)
+        out = out - jnp.concatenate([zy, g[:, :-1]], axis=1)
+        zz = jnp.zeros_like(g[:, :, :1])
+        out = out - jnp.concatenate([g[:, :, 1:], zz], axis=2)
+        out = out - jnp.concatenate([zz, g[:, :, :-1]], axis=2)
+        return (self._scale * out).reshape(-1, k)
+
+    def diagonal(self):
+        n = self.shape[0]
+        return jnp.full((n,), 6.0 * self._scale, dtype=self.dtype)
+
+
+class FunctionOperator(LinearOperator):
+    """Wrap a pure function ``f: [n,k] -> [m,k]`` as an operator.
+
+    Not a registered pytree (the function is static); close over arrays
+    inside ``f`` if needed.
+    """
+
+    def __init__(self, f: Callable, shape, dtype, rf: Optional[Callable] = None,
+                 diag: Optional[jax.Array] = None):
+        self._f = f
+        self._rf = rf
+        self._diag = diag
+        self.shape = tuple(shape)
+        self.dtype = jnp.dtype(dtype)
+
+    def tree_flatten(self):
+        return (), (self._f, self._rf, self._diag, self.shape, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        f, rf, diag, shape, dtype = aux
+        return cls(f, shape, dtype, rf=rf, diag=diag)
+
+    def matmat(self, X):
+        return self._f(X)
+
+    def rmatmat(self, X):
+        if self._rf is not None:
+            return self._rf(X)
+        return super().rmatmat(X)
+
+    def diagonal(self):
+        return self._diag
+
+
+jax.tree_util.register_pytree_node_class(FunctionOperator)
+
+
+# ---------------------------------------------------------------------------
+# Preconditioners
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class JacobiPrecond(LinearOperator):
+    """Shift-aware Jacobi preconditioner: X -> X / (diag(A) - sigma).
+
+    The correction equation wants an approximate inverse of (A - sigma B);
+    the reference passes per-block shifts through
+    ``ShiftsForPreconditioner`` (``include/primme_eigs.h``). Here
+    :meth:`matmat_shifted` takes the shifts as a traced ``[k]`` vector.
+    """
+
+    def __init__(self, diag, eps: float = 1e-10):
+        self.d = jnp.asarray(diag)
+        self.eps = eps
+        n = self.d.shape[0]
+        self.shape = (n, n)
+        self.dtype = self.d.dtype
+
+    def _leaves(self):
+        return (self.d,)
+
+    def _aux(self):
+        return self.eps
+
+    def _init_from(self, leaves, aux):
+        (self.d,) = leaves
+        self.eps = aux
+        self.shape = (self.d.shape[0],) * 2
+        self.dtype = self.d.dtype
+
+    def _safe_inv(self, denom):
+        mag = jnp.abs(denom)
+        denom = jnp.where(mag < self.eps, self.eps, denom)
+        return 1.0 / denom
+
+    def matmat(self, X):
+        return self._safe_inv(self.d)[:, None] * X
+
+    def matmat_shifted(self, X, shifts):
+        """Apply with per-column shifts: X[:, j] / (d - shifts[j])."""
+        denom = self.d[:, None] - shifts[None, :]
+        mag = jnp.abs(denom)
+        denom = jnp.where(mag < self.eps, self.eps, denom)
+        return X / denom
+
+
+def apply_precond(K: Optional[LinearOperator], X: jax.Array,
+                  shifts: Optional[jax.Array] = None) -> jax.Array:
+    """Uniform preconditioner application; identity if ``K is None``.
+
+    Mirrors ``applyPreconditioner_Sprimme`` mediation
+    (``src/eigs/auxiliary_eigs.c``).
+    """
+    if K is None:
+        return X
+    if shifts is not None and hasattr(K, "matmat_shifted"):
+        return K.matmat_shifted(X, shifts)
+    return K.matmat(X)
+
+
+def aslinearoperator(A: Any) -> LinearOperator:
+    """Coerce numpy/jax dense arrays, scipy sparse, or LinearOperator."""
+    if isinstance(A, LinearOperator):
+        return A
+    try:
+        import scipy.sparse as sp
+
+        if sp.issparse(A):
+            return ELLOperator.from_scipy(A)
+    except ImportError:  # pragma: no cover
+        pass
+    import scipy.sparse.linalg as spla
+
+    if isinstance(A, spla.LinearOperator):
+        shape, dtype = A.shape, A.dtype
+
+        def f(X):
+            return jax.pure_callback(
+                lambda Xh: np.asarray(A.matmat(np.asarray(Xh)), dtype=dtype),
+                jax.ShapeDtypeStruct((shape[0], X.shape[1]), dtype), X,
+                vmap_method="sequential")
+
+        def rf(X):
+            return jax.pure_callback(
+                lambda Xh: np.asarray(A.rmatmat(np.asarray(Xh)), dtype=dtype),
+                jax.ShapeDtypeStruct((shape[1], X.shape[1]), dtype), X,
+                vmap_method="sequential")
+
+        return FunctionOperator(f, shape, dtype, rf=rf)
+    arr = jnp.asarray(A)
+    if arr.ndim != 2:
+        raise ValueError("expected a 2-D operator")
+    return DenseOperator(arr)
