@@ -1,0 +1,32 @@
+"""primme_tpu: TPU-native preconditioned multimethod eigensolver & SVD.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of PRIMME
+(see SURVEY.md): eigenpairs of large Hermitian (and generalized) operators
+and singular triplets of rectangular operators, extreme and interior
+targets, preconditioning, block methods, +k thick restarting, locking,
+JDQMR inner solves, and a two-stage hybrid SVD solver — all as jitted
+iterations over (optionally row-sharded) operators.
+"""
+
+from .params import (PrimmeParams, Target, Projection, InitBasisMode,
+                     ConvTest, Method, Projectors, set_method,
+                     resolve_defaults, set_member, get_member, member_info,
+                     member_names, display_params)
+from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
+                        ELLOperator, Stencil3DOperator, FunctionOperator,
+                        JacobiPrecond, aslinearoperator, apply_precond)
+from .core.solver import solve_eigs, EigsResult, Stats
+from .api import eigsh, PrimmeError
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PrimmeParams", "Target", "Projection", "InitBasisMode", "ConvTest",
+    "Method", "Projectors", "set_method", "resolve_defaults", "set_member",
+    "get_member", "member_info", "member_names", "display_params",
+    "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
+    "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
+    "aslinearoperator", "apply_precond",
+    "solve_eigs", "EigsResult", "Stats", "eigsh", "PrimmeError",
+    "__version__",
+]

@@ -1,0 +1,145 @@
+"""User-facing API: scipy-style ``eigsh`` (and later ``svds``).
+
+Mirrors the reference's Python binding surface (``Python/primme.pyx:284``:
+``eigsh(A, k, M, sigma, which, v0, ncv, maxiter, tol, ...)``) on top of the
+jitted TPU solver. Inputs may be numpy/jax dense arrays, scipy sparse
+matrices, scipy ``LinearOperator``s, or :class:`~primme_tpu.operators.
+LinearOperator`; outputs are jax arrays (use ``np.asarray`` to pull to
+host).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import params as prm
+from .params import (PrimmeParams, Target, Method, set_method,
+                     resolve_defaults)
+from .operators import (LinearOperator, aslinearoperator, JacobiPrecond,
+                        DiagonalOperator)
+from .core.solver import solve_eigs, EigsResult
+
+_WHICH_TO_TARGET = {
+    "SA": Target.smallest, "SM": Target.closest_abs,
+    "LA": Target.largest, "LM": Target.largest_abs,
+    "CLT": Target.closest_leq, "CGT": Target.closest_geq,
+}
+
+
+class PrimmeError(RuntimeError):
+    """Solver failure (analogue of ``primme.pyx:1570`` PrimmeError)."""
+
+
+def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
+          which: str = "LM", v0: Any = None, ncv: Optional[int] = None,
+          maxiter: Optional[int] = None, tol: float = 0.0,
+          OPinv: Any = None, return_eigenvectors: bool = True,
+          mode: str = "normal",
+          # PRIMME extensions (primme.pyx:284-300)
+          lock: Any = None, return_stats: bool = False,
+          maxBlockSize: int = 0, minRestartSize: int = 0,
+          maxPrevRetain: int = -1, method: Optional[Any] = None,
+          locking: Optional[bool] = None, maxMatvecs: Optional[int] = None,
+          jacobi: Optional[bool] = None, raise_for_unconverged: bool = True,
+          dtype: Any = None, seed: int = 0):
+    """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
+    (optionally generalized: ``A x = lambda M x``).
+
+    Follows ``scipy.sparse.linalg.eigsh``'s calling convention with the
+    PRIMME extensions of the reference binding (``Python/primme.pyx:284``).
+    ``which`` in {'LM','SM','LA','SA','CLT','CGT'}; 'SM'/'CLT'/'CGT' are
+    interior targets around ``sigma`` (default 0).
+    """
+    Aop = aslinearoperator(A)
+    n = Aop.shape[0]
+    if Aop.shape[0] != Aop.shape[1]:
+        raise ValueError("expected square operator; use svds for rectangular")
+    if not (0 < k <= n):
+        raise ValueError(f"k={k} out of range for n={n}")
+
+    Mop = aslinearoperator(M) if M is not None else None
+    which = which.upper()
+    if which not in _WHICH_TO_TARGET:
+        raise ValueError(f"which must be one of {sorted(_WHICH_TO_TARGET)}")
+    target = _WHICH_TO_TARGET[which]
+    shifts = ()
+    if target not in (Target.smallest, Target.largest):
+        shifts = (float(sigma) if sigma is not None else 0.0,)
+        if which == "LM" and sigma is None:
+            target = Target.largest_abs
+            shifts = (0.0,)
+
+    p = PrimmeParams(
+        n=n, num_evals=k, target=target, target_shifts=shifts,
+        eps=float(tol), max_basis_size=(ncv or 0),
+        min_restart_size=minRestartSize, max_block_size=maxBlockSize,
+        max_prev_retain=(maxPrevRetain if maxPrevRetain >= 0 else prm.UNSET),
+        locking=(prm.UNSET if locking is None else int(locking)),
+        rng_seed=seed)
+    if maxiter is not None:
+        p = p.with_(max_outer_iterations=int(maxiter))
+    if maxMatvecs is not None:
+        p = p.with_(max_matvecs=int(maxMatvecs))
+
+    # Preconditioner: explicit OPinv wins; else Jacobi if requested/possible.
+    K = None
+    if OPinv is not None:
+        K = aslinearoperator(OPinv)
+    elif jacobi:
+        d = Aop.diagonal()
+        if d is None:
+            raise ValueError("jacobi=True but operator has no diagonal()")
+        K = JacobiPrecond(d)
+
+    meth = method
+    if meth is None:
+        meth = Method.DEFAULT_MIN_MATVECS
+    elif isinstance(meth, str):
+        meth = Method[meth.replace("PRIMME_", "")]
+    p = set_method(meth, p, has_precond=K is not None,
+                   has_mass=Mop is not None)
+
+    v0j = None
+    if v0 is not None:
+        v0j = jnp.asarray(np.asarray(v0))
+        if v0j.ndim == 1:
+            v0j = v0j[:, None]
+    oc = None
+    if lock is not None:
+        oc = jnp.asarray(np.asarray(lock))
+        if oc.ndim == 1:
+            oc = oc[:, None]
+        p = p.with_(num_ortho_const=int(oc.shape[1]))
+        p = resolve_defaults(p)
+
+    inner = None
+    if p.max_inner_iterations != 0:
+        from .core.inner import jdqmr_inner_solve
+        inner = jdqmr_inner_solve
+
+    res: EigsResult = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
+                                 ortho_const=oc, inner_solve=inner,
+                                 dtype=dtype)
+
+    resnorms = np.asarray(res.resnorms)
+    anorm = float(res.stats.anorm_estimate)
+    eps_eff = p.eps if p.eps > 0 else 1e4 * float(
+        jnp.finfo(res.evals.dtype).eps)
+    unconv = int(np.sum(resnorms > 10 * max(eps_eff * max(anorm, 1e-300),
+                                            1e-300)))
+    if unconv > 0 and raise_for_unconverged:
+        raise PrimmeError(
+            f"{unconv}/{k} pairs unconverged (resnorms={resnorms})")
+
+    stats = {k_: np.asarray(v).item()
+             for k_, v in res.stats._asdict().items()}
+    out = [np.asarray(res.evals)]
+    if return_eigenvectors:
+        out.append(np.asarray(res.evecs))
+    if return_stats:
+        out.append(stats)
+    return tuple(out) if len(out) > 1 else out[0]

@@ -1,0 +1,638 @@
+"""Core eigensolver iteration: block (Jacobi-)Davidson under ``jit``.
+
+TPU-native re-design of the reference's outer iteration
+(``main_iter_Sprimme``, ``src/eigs/main_iter.c:176``; algorithm outline at
+``main_iter.c:118-141``). The central differences from the C design:
+
+* PRIMME's dynamic ``basisSize`` becomes a traced scalar ``b`` over
+  fixed-shape ``[n, max_basis_size]`` arrays whose inactive columns are
+  exactly zero; every kernel is a full-size MXU matmul compiled once.
+* The outer/restart/expansion triple loop collapses into one
+  ``lax.while_loop`` whose body does one Rayleigh-Ritz + candidate pass and
+  then either *expands* the basis by a corrected block or *restarts* it —
+  selected by ``lax.cond`` (no recompilation, no data-dependent Python).
+* Rank-0-solve + broadcast (``solve_H_brcast``, ``src/eigs/
+  solve_projection.c:657``) disappears: under SPMD the small projected
+  problem is replicated and solved identically on every shard; the only
+  collectives are the psums XLA inserts for row-sharded inner products.
+* Locking/restart column reordering is permutation-by-argsort on
+  coefficient matrices (compaction happens in the small ``[mmax, mmax]``
+  coefficient space, never on the big ``[n, .]`` arrays directly).
+
+Covered here: GD / GD+k (thick restart with previous-vector retention,
+``restart.c:200``), Olsen preconditioning (``correction.c:718``), soft and
+hard locking (``restart_soft_locking:598`` / ``restart_locking:832``),
+extreme and interior targets, generalized problems (B-ortho), external
+deflation constraints (``numOrthoConst``), initial guesses, and block
+Krylov initialization (``init.c:125``). The JD inner QMR solver plugs in
+via the ``inner_solve`` hook (see ``core/inner.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..params import PrimmeParams, Target, ConvTest
+from . import linalg as la
+from .linalg import (Candidates, bcomb, col_mask, gram, mask_cols,
+                     real_dtype, machine_eps, solve_H_rr, block_ortho,
+                     compute_residuals, target_sort_keys, _herm)
+
+
+
+def _i32(x):
+    return jnp.asarray(x, jnp.int32)
+
+
+def _dus(X, U, i, j):
+    """dynamic_update_slice with int32-normalized indices."""
+    return jax.lax.dynamic_update_slice(X, U, (_i32(i), _i32(j)))
+
+
+def _ds(X, i, j, shape):
+    return jax.lax.dynamic_slice(X, (_i32(i), _i32(j)), shape)
+
+
+_BIG = 1 << 20  # stable-sort priority offset (int32-safe: 4*_BIG*mmax < 2^31 for mmax < 512)
+
+
+class Stats(NamedTuple):
+    """Per-solve counters (``primme_stats``, ``include/primme_eigs.h:109-135``)."""
+
+    num_outer_iterations: jax.Array
+    num_restarts: jax.Array
+    num_matvecs: jax.Array
+    num_preconds: jax.Array
+    num_inner_iterations: jax.Array
+    num_locked: jax.Array
+    num_random: jax.Array          # random-vector ortho recoveries
+    anorm_estimate: jax.Array
+
+    @staticmethod
+    def zeros(rdt):
+        z = jnp.zeros((), jnp.int32)
+        return Stats(z, z, z, z, z, z, z, jnp.zeros((), rdt))
+
+
+class SolverState(NamedTuple):
+    # Big sharded arrays [n, mmax] (BV aliases V when B is None)
+    V: jax.Array
+    W: jax.Array
+    BV: jax.Array
+    # Replicated small dense state
+    H: jax.Array                 # [mmax, mmax] projected matrix V^H A V
+    b: jax.Array                 # traced basis size
+    prev_hvecs: jax.Array        # [mmax, kmax] +k retention candidates
+    # Locked pairs / ortho constraints: columns [0, noc) are user
+    # constraints, [noc, noc+num_locked) locked eigenpairs.
+    evecs: jax.Array             # [n, lockmax]
+    Bevecs: jax.Array
+    locked_vals: jax.Array       # [lockmax - noc]
+    locked_res: jax.Array
+    num_locked: jax.Array
+    # control
+    key: jax.Array
+    done: jax.Array
+    stats: Stats
+
+
+class EigsResult(NamedTuple):
+    evals: jax.Array       # [num_evals]
+    evecs: jax.Array       # [n, num_evals]
+    resnorms: jax.Array    # [num_evals]
+    stats: Stats
+
+
+def _rand_block(key, n, bs, dtype):
+    rdt = real_dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        k1, k2 = jax.random.split(key)
+        X = (jax.random.normal(k1, (n, bs), rdt)
+             + 1j * jax.random.normal(k2, (n, bs), rdt)).astype(dtype)
+    else:
+        X = jax.random.normal(key, (n, bs), dtype)
+    return X
+
+
+class SolveConfig(NamedTuple):
+    """Static (trace-constant) solver configuration distilled from
+    :class:`~primme_tpu.params.PrimmeParams` by :func:`make_config`."""
+
+    n: int
+    ne: int                 # num_evals
+    mmax: int               # max_basis_size
+    mrs: int                # min_restart_size
+    blk: int                # max_block_size
+    kmax: int               # max_prev_retain
+    cwin: int               # candidate window width
+    noc: int                # num ortho constraints
+    lockmax: int
+    locking: bool
+    target: Target
+    eps: float
+    a_norm: float           # 0 -> estimate
+    olsen: bool             # RightX projector: Olsen correction
+    robust_shifts: bool
+    max_outer: int
+    max_matvecs: int
+    # inner (JD/QMR) solve; 0 = GD
+    max_inner: int
+    conv_test: ConvTest
+    rel_tol_base: float
+    skewX: bool
+    leftQ: bool
+    leftX: bool
+    skewQ: bool
+    rightQ: bool
+
+
+def make_config(p: PrimmeParams) -> SolveConfig:
+    """Distill resolved params into trace constants."""
+    mmax, blk, ne = p.max_basis_size, p.max_block_size, p.num_evals
+    cwin = min(mmax, ne + blk)
+    noc = p.num_ortho_const
+    return SolveConfig(
+        n=p.n, ne=ne, mmax=mmax, mrs=p.min_restart_size, blk=blk,
+        kmax=p.max_prev_retain, cwin=cwin, noc=noc,
+        lockmax=noc + ne + cwin, locking=bool(p.locking), target=p.target,
+        eps=p.eps, a_norm=p.a_norm, olsen=p.projectors.RightX,
+        robust_shifts=p.robust_shifts,
+        max_outer=min(p.max_outer_iterations, (1 << 31) - 1),
+        max_matvecs=min(p.max_matvecs, (1 << 31) - 1),
+        max_inner=p.max_inner_iterations, conv_test=p.conv_test,
+        rel_tol_base=p.rel_tol_base, skewX=p.projectors.SkewX,
+        leftQ=p.projectors.LeftQ, leftX=p.projectors.LeftX,
+        skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ)
+
+
+# ---------------------------------------------------------------------------
+# Basis initialization (init_basis, src/eigs/init.c:125)
+# ---------------------------------------------------------------------------
+
+def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
+    """Block-Krylov initial basis (``init_block_krylov``,
+    ``src/eigs/init.c:258``): V[:, :b0] spans {X0, A X0, A^2 X0, ...},
+    B-orthonormal and orthogonal to the constraint columns of ``evecs``.
+    Each A-application doubles as the W panel for the block it was applied
+    to, so the whole init costs exactly ``b0`` matvec columns."""
+    n, mmax, blk = cfg.n, cfg.mmax, cfg.blk
+    b0 = max(min(cfg.mrs, mmax), min(blk, mmax))
+    nb = -(-b0 // blk)  # ceil
+    V = jnp.zeros((n, mmax), dtype)
+    W = jnp.zeros((n, mmax), dtype)
+    BV = V if B is None else jnp.zeros((n, mmax), dtype)
+
+    key, k0 = jax.random.split(key)
+    X = _rand_block(k0, n, blk, dtype)
+    if v0 is not None:
+        ng = min(v0.shape[1], blk)
+        X = X.at[:, :ng].set(v0[:, :ng].astype(dtype))
+
+    locked = (evecs, Bevecs) if cfg.noc > 0 else None
+
+    def body(i, carry):
+        V, W, BV, X, key, nrand = carry
+        key, kk = jax.random.split(key)
+        bi = i * blk
+        nact = jnp.minimum(blk, b0 - bi).astype(jnp.int32)
+        res = block_ortho(X, (V, BV), locked, nact, kk, Bop=B)
+        V2 = _dus(V, res.X, 0, bi)
+        BV2 = V2 if B is None else _dus(BV, res.BX, 0, bi)
+        Y = A.matmat(res.X)
+        W2 = _dus(W, Y, 0, bi)
+        return V2, W2, BV2, Y, key, nrand + res.n_random.astype(jnp.int32)
+
+    V, W, BV, _, key, nrand = jax.lax.fori_loop(
+        0, nb, body, (V, W, BV, X, key, jnp.zeros((), jnp.int32)))
+    b = jnp.asarray(b0, jnp.int32)
+    H = gram(V, W)  # inactive rows/cols exactly zero already
+    H = 0.5 * (H + _herm(H))
+    return V, W, BV, H, b, key, jnp.asarray(b0, jnp.int32), nrand
+
+
+# ---------------------------------------------------------------------------
+# Candidate preparation (prepare_candidates, main_iter.c:1470)
+# ---------------------------------------------------------------------------
+
+class Window(NamedTuple):
+    sol: la.ProjectedSolution
+    cands: Candidates      # width cwin, sorted order
+    conv: jax.Array        # [cwin] bool: converged target pair
+    is_target: jax.Array   # [cwin] bool: pair index < remaining sought
+    n_needed: jax.Array    # remaining sought pairs
+    nconv: jax.Array       # converged targets in window
+    tol: jax.Array
+
+
+def _tolerance(cfg: SolveConfig, anorm):
+    """Default convergence test: ||r|| < max(eps, 2 macheps) * problemNorm
+    (``convTestFunAbsolute``, ``src/eigs/primme_c.c:555-570``)."""
+    meps = machine_eps(anorm.dtype)
+    eps = cfg.eps if cfg.eps > 0 else 1e4 * meps
+    return jnp.maximum(eps, 2 * meps) * anorm
+
+
+def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
+    c = cfg.cwin
+    sol = solve_H_rr(s.H, s.b, cfg.target, shifts,
+                     jnp.minimum(s.num_locked, shifts.shape[0] - 1))
+    hv_c = sol.hvecs[:, :c]
+    hl_c = sol.hvals[:c]
+    cands = compute_residuals(s.V, s.W, s.BV if has_B else None,
+                              hv_c, hl_c)
+    active = sol.active[:c]
+    finite = jnp.where(active, jnp.where(jnp.isfinite(hl_c), hl_c, 0), 0)
+    anorm_est = jnp.maximum(s.stats.anorm_estimate,
+                            jnp.max(jnp.abs(finite)))
+    anorm = (jnp.asarray(cfg.a_norm, anorm_est.dtype)
+             if cfg.a_norm > 0 else anorm_est)
+    tol = _tolerance(cfg, anorm)
+    n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32) - s.num_locked.astype(jnp.int32))
+    is_target = (jnp.arange(c) < n_needed) & active
+    conv = (cands.resnorms <= tol) & is_target
+    if cfg.locking or cfg.noc > 0:
+        # "Practically converged" (check_practical_convergence,
+        # src/eigs/convergence.c:238): locked pairs are only accurate to
+        # tol themselves, so unconverged candidates floor at ~sqrt(nl)*tol.
+        # A pair whose residual component OUTSIDE the locked space is below
+        # tol is accepted (its remaining error lies in locked directions).
+        proj = gram(s.evecs, cands.R)                   # [lockmax, c]
+        Rp = cands.R - bcomb(s.Bevecs, proj)
+        projres = jnp.real(jnp.linalg.norm(Rp, axis=0))
+        attainable = jnp.sqrt(1.0 + s.num_locked.astype(tol.dtype)) * tol
+        practical = (projres <= tol) & (cands.resnorms <= 10.0 * attainable)
+        conv = conv | (practical & is_target)
+    nconv = _i32(jnp.sum(conv.astype(jnp.int32)))
+    stats = s.stats._replace(anorm_estimate=anorm_est)
+    return Window(sol, cands, conv, is_target, n_needed, nconv, tol), stats
+
+
+def _unconverged_order(win: Window):
+    """Stable order with unconverged active pairs first (natural sorted
+    order preserved within each class), converged next, padding last."""
+    c = win.conv.shape[0]
+    idx = jnp.arange(c, dtype=jnp.int32)
+    active = win.sol.active[:c]
+    key = idx + _BIG * win.conv.astype(jnp.int32) \
+        + 4 * _BIG * (~active).astype(jnp.int32)
+    return jnp.argsort(key)
+
+
+# ---------------------------------------------------------------------------
+# Correction equation (solve_correction, src/eigs/correction.c:134)
+# ---------------------------------------------------------------------------
+
+def gd_correction(cfg: SolveConfig, K, R, X, sigma, valid):
+    """Generalized-Davidson expansion vectors: (Olsen-)preconditioned
+    residuals (``correction.c:718``). ``sigma`` are the (robust) shifts fed
+    to the preconditioner (``ShiftsForPreconditioner``)."""
+    from ..operators import apply_precond
+
+    if K is None:
+        return R * valid[None, :].astype(R.dtype)
+    KR = apply_precond(K, R, sigma)
+    if not cfg.olsen:
+        return KR * valid[None, :].astype(R.dtype)
+    # Olsen: delta = K^{-1} r - (x^H K^{-1} r / x^H K^{-1} x) K^{-1} x
+    KX = apply_precond(K, X, sigma)
+    num = jnp.sum(X.conj() * KR, axis=0)
+    den = jnp.sum(X.conj() * KX, axis=0)
+    den = jnp.where(jnp.abs(den) < jnp.finfo(real_dtype(R.dtype)).tiny,
+                    1.0, den)
+    D = KR - KX * (num / den)[None, :]
+    return D * valid[None, :].astype(R.dtype)
+
+
+def _robust_shifts(cfg: SolveConfig, lam, res, valid):
+    """Shift slightly outward by the residual norm so the preconditioner
+    does not lock onto an unconverged Ritz value (``computeRobustShift``,
+    ``src/eigs/correction.c:481``)."""
+    lam = jnp.where(valid, jnp.where(jnp.isfinite(lam), lam, 0), 0)
+    if not cfg.robust_shifts:
+        return lam
+    sgn = -1.0 if cfg.target == Target.smallest else 1.0
+    if cfg.target in (Target.smallest, Target.largest):
+        return lam + sgn * res
+    return lam
+
+
+# ---------------------------------------------------------------------------
+# Restart (restart_Sprimme, src/eigs/restart.c:200)
+# ---------------------------------------------------------------------------
+
+def _ortho_span_coeff(P, C, tol):
+    """Orthonormalize the columns of small coefficient block ``P`` against
+    orthonormal ``C`` and internally (eigh-based, rank-revealing). Returns
+    (Q [m, k], valid [k]) where invalid columns are zero. This is
+    ``ortho_coefficient_vectors`` (``src/eigs/restart.c:2330``) in
+    coefficient space."""
+    P = P - bcomb(C, gram(C, P))
+    P = P - bcomb(C, gram(C, P))  # second CGS pass
+    G = gram(P, P)
+    w, U = jnp.linalg.eigh(G)     # ascending
+    wmax = jnp.maximum(jnp.max(w), jnp.asarray(1.0, w.dtype))
+    valid = w > tol * wmax
+    inv = jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, w, 1.0)), 0.0)
+    Q = bcomb(P, U * inv[None, :].astype(P.dtype))
+    return Q, valid
+
+
+def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
+               has_B: bool) -> SolverState:
+    """Thick restart with +k retention and (optional) hard locking."""
+    mmax, mrs, kmax, c = cfg.mmax, cfg.mrs, cfg.kmax, cfg.cwin
+    idx = jnp.arange(mmax, dtype=jnp.int32)
+    active = win.sol.active
+    rdt = real_dtype(s.V.dtype)
+
+    # --- hard locking: move converged targets into evecs -----------------
+    if cfg.locking:
+        lock = win.conv  # converged targets in window
+        lockorder = jnp.argsort(jnp.arange(c, dtype=jnp.int32)
+                                + _BIG * (~lock).astype(jnp.int32))
+        nl = _i32(jnp.sum(lock.astype(jnp.int32)))
+        lvalid = (jnp.arange(c) < nl)
+        lv = lvalid.astype(s.V.dtype)[None, :]
+        Xl = win.cands.X[:, lockorder] * lv
+        BXl = (win.cands.BX[:, lockorder] * lv if has_B else Xl)
+        laml = jnp.where(lvalid, win.sol.hvals[:c][lockorder], 0)
+        resl = jnp.where(lvalid, win.cands.resnorms[lockorder], 0)
+        off = cfg.noc + s.num_locked
+        evecs = _dus(s.evecs,
+                     jnp.where(lvalid[None, :], Xl,
+                               _ds(s.evecs, 0, off, (cfg.n, c))), 0, off)
+        Bevecs = (_dus(s.Bevecs,
+                       jnp.where(lvalid[None, :], BXl,
+                                 _ds(s.Bevecs, 0, off, (cfg.n, c))), 0, off)
+                  if has_B else evecs)
+        locked_vals = jax.lax.dynamic_update_slice(
+            s.locked_vals, jnp.where(
+                lvalid, laml.astype(rdt),
+                jax.lax.dynamic_slice(s.locked_vals, (_i32(s.num_locked),),
+                                      (c,))), (_i32(s.num_locked),))
+        locked_res = jax.lax.dynamic_update_slice(
+            s.locked_res, jnp.where(
+                lvalid, resl.astype(rdt),
+                jax.lax.dynamic_slice(s.locked_res, (_i32(s.num_locked),),
+                                      (c,))), (_i32(s.num_locked),))
+        num_locked = _i32(s.num_locked + nl)
+        locked_now = jnp.zeros((mmax,), jnp.bool_).at[:c].set(lock)
+    else:
+        nl = jnp.zeros((), jnp.int32)
+        evecs, Bevecs = s.evecs, s.Bevecs
+        locked_vals, locked_res = s.locked_vals, s.locked_res
+        num_locked = s.num_locked
+        locked_now = jnp.zeros((mmax,), jnp.bool_)
+
+    # --- keep the best mrs non-locked pairs ------------------------------
+    keep_key = idx + _BIG * locked_now.astype(jnp.int32) \
+        + 4 * _BIG * (~active).astype(jnp.int32)
+    keep_order = jnp.argsort(keep_key)[:mrs]
+    keep_ok = active[keep_order] & ~locked_now[keep_order]
+    Ckeep = win.sol.hvecs[:, keep_order] * keep_ok.astype(s.H.dtype)[None, :]
+
+    # --- +k: retain previous-iteration coefficient vectors ---------------
+    if kmax > 0:
+        meps = machine_eps(s.V.dtype)
+        # Retained vectors must be orthogonal to BOTH the kept and the
+        # just-locked coefficient vectors — a retained vector is typically
+        # within O(res) of the pair that just converged, and projecting
+        # only against the kept set would re-insert the locked eigenvector
+        # into the basis, which then re-converges as a spurious duplicate
+        # (the reference orthogonalizes against the full outgoing basis,
+        # ``ortho_coefficient_vectors``, ``src/eigs/restart.c:2330``).
+        if cfg.locking:
+            Clock = win.sol.hvecs * locked_now.astype(s.H.dtype)[None, :]
+            Cavoid = jnp.concatenate([Ckeep, Clock], axis=1)
+        else:
+            Cavoid = Ckeep
+        Pq, pvalid = _ortho_span_coeff(s.prev_hvecs.astype(s.H.dtype),
+                                       Cavoid, 64.0 * meps)
+        C = jnp.concatenate([Ckeep, Pq], axis=1)
+        colvalid = jnp.concatenate([keep_ok, pvalid], axis=0)
+    else:
+        C = Ckeep
+        colvalid = keep_ok
+
+    # compact valid columns to the front, pad to mmax
+    order3 = jnp.argsort(jnp.arange(colvalid.shape[0], dtype=jnp.int32)
+                         + _BIG * (~colvalid).astype(jnp.int32))
+    C = C[:, order3]
+    b_new = _i32(jnp.sum(colvalid.astype(jnp.int32)))
+    Cfull = jnp.zeros((mmax, mmax), s.H.dtype)
+    Cfull = Cfull.at[:, :C.shape[1]].set(C)
+
+    # --- apply in coefficient space --------------------------------------
+    V = bcomb(s.V, Cfull)
+    W = bcomb(s.W, Cfull)
+    BV = bcomb(s.BV, Cfull) if has_B else V
+    H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
+    H = 0.5 * (H + _herm(H))
+
+    stats = s.stats._replace(
+        num_restarts=s.stats.num_restarts + 1,
+        num_locked=s.stats.num_locked + nl.astype(jnp.int32))
+    return s._replace(V=V, W=W, BV=BV, H=H, b=b_new,
+                      prev_hvecs=jnp.zeros_like(s.prev_hvecs),
+                      evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
+                      locked_res=locked_res, num_locked=num_locked,
+                      stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Expansion (one outer iteration of main_iter.c:517)
+# ---------------------------------------------------------------------------
+
+def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
+              inner_solve=None) -> SolverState:
+    blk, c, mmax, kmax = cfg.blk, cfg.cwin, cfg.mmax, cfg.kmax
+    order = _unconverged_order(win)
+    n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
+                             & win.is_target).astype(jnp.int32)))
+    nc = _i32(jnp.minimum(blk, n_unconv))
+    cand_idx = order[:blk]
+    valid = jnp.arange(blk) < nc
+    vmask = valid.astype(s.V.dtype)[None, :]
+
+    R = win.cands.R[:, cand_idx] * vmask
+    X = win.cands.X[:, cand_idx] * vmask
+    BX = win.cands.BX[:, cand_idx] * vmask if B is not None else X
+    lam = win.sol.hvals[:c][cand_idx]
+    res = win.cands.resnorms[cand_idx]
+    sigma = _robust_shifts(cfg, lam, res, valid)
+
+    # +k retention candidates for the *next* restart (unconverged-first)
+    if kmax > 0:
+        pidx = order[:kmax]
+        pvalid = (jnp.arange(kmax) < jnp.minimum(
+            kmax, _i32(jnp.sum(win.sol.active[:c].astype(jnp.int32)))))
+        prev = win.sol.hvecs[:, :c][:, pidx] * pvalid.astype(s.H.dtype)[None, :]
+    else:
+        prev = s.prev_hvecs
+
+    n_inner = jnp.zeros((), jnp.int32)
+    n_prec = jnp.zeros((), jnp.int32)
+    n_mv_inner = jnp.zeros((), jnp.int32)
+    if cfg.max_inner != 0 and inner_solve is not None:
+        D, n_inner, n_mv_inner, n_prec = inner_solve(
+            cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol)
+    else:
+        D = gd_correction(cfg, K, R, X, sigma, valid)
+        if K is not None:
+            n_prec = nc.astype(jnp.int32)
+
+    key, kk = jax.random.split(s.key)
+    locked = ((s.evecs, s.Bevecs)
+              if (cfg.noc > 0 or cfg.locking) else None)
+    ores = block_ortho(D, (s.V, s.BV), locked, nc, kk, Bop=B)
+
+    V = _dus(s.V, ores.X, 0, s.b)
+    BV = _dus(s.BV, ores.BX, 0, s.b) if B is not None else V
+    Y = A.matmat(ores.X)
+    W = _dus(s.W, Y, 0, s.b)
+    hc = gram(V, Y)                      # [mmax, blk] new columns of H
+    H = _dus(s.H, hc, 0, s.b)
+    H = _dus(H, _herm(hc), s.b, 0)
+
+    stats = s.stats._replace(
+        num_outer_iterations=s.stats.num_outer_iterations + 1,
+        num_matvecs=s.stats.num_matvecs + nc.astype(jnp.int32) + n_mv_inner,
+        num_preconds=s.stats.num_preconds + n_prec,
+        num_inner_iterations=s.stats.num_inner_iterations + n_inner,
+        num_random=s.stats.num_random + ores.n_random.astype(jnp.int32))
+    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc), prev_hvecs=prev,
+                      key=key, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def _shift_array(p: PrimmeParams, rdt) -> jax.Array:
+    ts = p.target_shifts if p.target_shifts else (0.0,)
+    return jnp.asarray(ts, rdt)
+
+
+def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
+               ortho_const=None, key=None, inner_solve=None,
+               dtype=None, debug=False) -> EigsResult:
+    """Run the eigensolver. All operators are
+    :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
+    (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
+
+    This is the analogue of ``wrapper_Sprimme`` + ``main_iter_Sprimme``
+    (``src/eigs/primme_c.c:278``, ``src/eigs/main_iter.c:176``).
+    """
+    cfg = make_config(p)
+    dtype = jnp.dtype(dtype or A.dtype)
+    rdt = real_dtype(dtype)
+    n, mmax = cfg.n, cfg.mmax
+    if key is None:
+        key = jax.random.key(p.rng_seed)
+
+    shifts = _shift_array(p, rdt)
+
+    # Locked/constraint storage
+    evecs0 = jnp.zeros((n, cfg.lockmax), dtype)
+    if ortho_const is not None:
+        noc = ortho_const.shape[1]
+        assert noc == cfg.noc, (noc, cfg.noc)
+        evecs0 = evecs0.at[:, :noc].set(ortho_const.astype(dtype))
+    if B is None:
+        Bevecs0 = evecs0
+    else:
+        Bevecs0 = (evecs0.at[:, :cfg.noc].set(
+            B.matmat(evecs0[:, :cfg.noc])) if cfg.noc > 0 else evecs0)
+
+    V, W, BV, H, b, key, nmv0, nrand0 = init_basis(
+        A, B, cfg, key, evecs0, Bevecs0, v0, dtype)
+
+    stats = Stats.zeros(rdt)._replace(num_matvecs=nmv0,
+                                      num_random=nrand0.astype(jnp.int32))
+    s0 = SolverState(
+        V=V, W=W, BV=BV, H=H, b=b,
+        prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), dtype),
+        evecs=evecs0, Bevecs=Bevecs0,
+        locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
+        locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
+        num_locked=jnp.zeros((), jnp.int32), key=key,
+        done=jnp.zeros((), jnp.bool_), stats=stats)
+
+    def cond(s: SolverState):
+        return (~s.done
+                & (s.stats.num_outer_iterations < cfg.max_outer)
+                & (s.stats.num_matvecs < cfg.max_matvecs))
+
+    def body(s: SolverState):
+        win, stats = prepare_window(cfg, s, shifts, B is not None)
+        s = s._replace(stats=stats)
+        done = (s.num_locked.astype(jnp.int32) + win.nconv) >= cfg.ne
+        n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:cfg.cwin]
+                                 & win.is_target).astype(jnp.int32)))
+        need_restart = (s.b + cfg.blk > mmax) | (n_unconv == 0)
+
+        def when_active(s):
+            return jax.lax.cond(
+                need_restart,
+                lambda s: do_restart(cfg, s, win, B is not None),
+                lambda s: do_expand(cfg, A, B, K, s, win,
+                                    inner_solve=inner_solve),
+                s)
+
+        if debug:
+            cn = jnp.linalg.norm(s.V, axis=0)
+            amask = jnp.arange(cfg.mmax) < s.b
+            mincn = jnp.min(jnp.where(amask, cn, 1e9))
+            vtq = jnp.max(jnp.abs(gram(s.evecs, s.V)))
+            G = gram(s.V, s.V)
+            I2 = jnp.diag(amask.astype(G.dtype))
+            vtv = jnp.max(jnp.abs(G * (amask[:, None] & amask[None, :]) - I2))
+            Gq = gram(s.evecs, s.evecs)
+            qmask = jnp.arange(cfg.lockmax) < (cfg.noc + s.num_locked)
+            qtq = jnp.max(jnp.abs(Gq * (qmask[:, None] & qmask[None, :])
+                                  - jnp.diag(qmask.astype(Gq.dtype))))
+            jax.debug.print(
+                "it={it} b={b} lock={lk} nconv={nc} nunc={nu} need={nd} "
+                "res0={r0:.2e} hv0={h0:.3e} mincol={mc:.2e} "
+                "VtQ={vq:.2e} VtV={vv:.2e} QtQ={qq:.2e}",
+                it=s.stats.num_outer_iterations, b=s.b, lk=s.num_locked,
+                nc=win.nconv, nu=n_unconv, nd=win.n_needed,
+                r0=win.cands.resnorms[0],
+                h0=win.sol.hvals[0], mc=mincn, vq=vtq, vv=vtv, qq=qtq)
+        s = jax.lax.cond(done, lambda s: s, when_active, s)
+        return s._replace(done=done)
+
+    s = jax.lax.while_loop(cond, body, s0)
+
+    # ---- final extraction (verify_norms, main_iter.c:1864) --------------
+    win, stats = prepare_window(cfg, s, shifts, B is not None)
+    s = s._replace(stats=stats)
+    ne = cfg.ne
+    # basis-resident pairs (sorted) fill slots beyond the locked ones
+    basis_vals = jnp.where(jnp.isfinite(win.sol.hvals[:cfg.cwin]),
+                           win.sol.hvals[:cfg.cwin], 0).astype(rdt)
+    out_cols = jnp.arange(ne)
+    from_locked = out_cols < s.num_locked
+    bidx = jnp.clip(out_cols - s.num_locked, 0, cfg.cwin - 1)
+    lidx = jnp.clip(out_cols, 0, cfg.lockmax - cfg.noc - 1)
+
+    evecs_basis = win.cands.X[:, bidx]
+    evecs_locked = s.evecs[:, cfg.noc + lidx]
+    out_vecs = jnp.where(from_locked[None, :], evecs_locked, evecs_basis)
+    out_vals = jnp.where(from_locked, s.locked_vals[lidx], basis_vals[bidx])
+    out_res = jnp.where(from_locked, s.locked_res[lidx],
+                        win.cands.resnorms[bidx])
+
+    # final target-order sort of the merged output
+    keys = target_sort_keys(out_vals, cfg.target, shifts.astype(rdt),
+                            jnp.zeros((), jnp.int32))
+    order = jnp.argsort(keys)
+    out_vals = out_vals[order]
+    out_vecs = out_vecs[:, order]
+    out_res = out_res[order]
+    return EigsResult(evals=out_vals, evecs=out_vecs, resnorms=out_res,
+                      stats=s.stats)

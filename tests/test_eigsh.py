@@ -1,0 +1,146 @@
+"""End-to-end eigsh tests vs scipy ground truth.
+
+Models the reference's binding-level test strategy (``Python/tests.py``,
+SURVEY.md §4.4): parametrized sweeps over dtypes, targets, methods, and
+problem kinds, comparing against dense ``scipy.linalg.eigh``."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+from primme_tpu import eigsh, Method
+
+
+@pytest.fixture(scope="module")
+def tridiag():
+    n = 300
+    d = np.linspace(1, 100, n)
+    A = sp.diags([d, 0.3 * np.ones(n - 1), 0.3 * np.ones(n - 1)],
+                 [0, 1, -1]).tocsr()
+    return A, np.linalg.eigvalsh(A.toarray())
+
+
+def assert_close(vals, expect, tol=1e-7):
+    scale = max(1.0, float(np.abs(expect).max()))
+    err = np.abs(np.sort(vals) - np.sort(expect)).max()
+    assert err < tol * scale, f"err={err:.3e}"
+
+
+@pytest.mark.parametrize("which", ["SA", "LA"])
+@pytest.mark.parametrize("method", [Method.GD_Olsen_plusK, Method.GD_plusK,
+                                    Method.GD])
+def test_extreme(tridiag, which, method):
+    A, ref = tridiag
+    vals, vecs = eigsh(A, k=5, which=which, tol=1e-9, method=method,
+                       raise_for_unconverged=False)
+    expect = ref[:5] if which == "SA" else ref[-5:]
+    assert_close(vals, expect)
+    # residuals
+    R = A @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8 * ref[-1] * 100
+
+
+def test_hard_locking_many_pairs(tridiag):
+    A, ref = tridiag
+    vals, vecs, st = eigsh(A, k=30, which="SA", tol=1e-9, ncv=20,
+                           method=Method.GD_Olsen_plusK, return_stats=True,
+                           maxMatvecs=6000, raise_for_unconverged=False)
+    assert_close(vals, ref[:30])
+    G = vecs.T @ vecs
+    assert np.abs(G - np.eye(30)).max() < 1e-10
+    assert st["num_locked"] >= 25
+
+
+def test_interior(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=5, which="SM", sigma=50.0, tol=1e-9,
+                    method=Method.GD_plusK, raise_for_unconverged=False)
+    expect = ref[np.argsort(np.abs(ref - 50.0))][:5]
+    assert_close(vals, expect)
+
+
+def test_complex_hermitian():
+    rng = np.random.default_rng(3)
+    n = 150
+    H = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    H = (H + H.conj().T) / 2 + np.diag(np.linspace(0, 50, n))
+    ref = np.linalg.eigvalsh(H)
+    vals, vecs = eigsh(H, k=5, which="SA", tol=1e-9,
+                       raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
+
+
+def test_generalized():
+    rng = np.random.default_rng(4)
+    n = 120
+    B = sp.diags(1.0 + rng.random(n)).tocsr()
+    A = sp.diags([np.linspace(1, 60, n), 0.2 * np.ones(n - 1),
+                  0.2 * np.ones(n - 1)], [0, 1, -1]).tocsr()
+    ref = sla.eigh(A.toarray(), B.toarray(), eigvals_only=True)
+    vals, vecs = eigsh(A, k=5, M=B, which="SA", tol=1e-9,
+                       raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
+    G = vecs.T @ (B @ vecs)
+    assert np.abs(G - np.eye(5)).max() < 1e-8
+
+
+def test_block(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=10, which="SA", tol=1e-9, maxBlockSize=4,
+                    method=Method.GD_Olsen_plusK,
+                    raise_for_unconverged=False)
+    assert_close(vals, ref[:10], tol=1e-6)
+
+
+def test_lobpcg_preset(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=8, which="SA", tol=1e-8,
+                    method=Method.LOBPCG_OrthoBasis,
+                    raise_for_unconverged=False)
+    assert_close(vals, ref[:8], tol=1e-6)
+
+
+def test_jacobi_precond_cuts_matvecs(tridiag):
+    A, ref = tridiag
+    _, _, st_p = eigsh(A, k=5, which="SA", tol=1e-9, jacobi=True,
+                       method=Method.GD_Olsen_plusK, return_stats=True,
+                       raise_for_unconverged=False)
+    _, _, st_n = eigsh(A, k=5, which="SA", tol=1e-9,
+                       method=Method.GD_Olsen_plusK, return_stats=True,
+                       raise_for_unconverged=False)
+    assert st_p["num_matvecs"] < st_n["num_matvecs"] / 2
+
+
+def test_float32(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A.astype(np.float32), k=4, which="SA", tol=1e-4,
+                    raise_for_unconverged=False)
+    assert_close(vals, ref[:4], tol=1e-3)
+
+
+def test_deflation_constraints(tridiag):
+    A, ref = tridiag
+    w, v = np.linalg.eigh(A.toarray())
+    vals, _ = eigsh(A, k=3, which="SA", tol=1e-9, lock=v[:, :2],
+                    raise_for_unconverged=False)
+    assert_close(vals, ref[2:5])
+
+
+def test_v0_initial_guess(tridiag):
+    A, ref = tridiag
+    w, v = np.linalg.eigh(A.toarray())
+    _, _, st = eigsh(A, k=2, which="SA", tol=1e-9,
+                     v0=v[:, :2] + 1e-3 * np.random.default_rng(0).normal(
+                         size=(A.shape[0], 2)),
+                     return_stats=True, raise_for_unconverged=False)
+    _, _, st0 = eigsh(A, k=2, which="SA", tol=1e-9, return_stats=True,
+                      raise_for_unconverged=False)
+    assert st["num_matvecs"] < st0["num_matvecs"]
+
+
+def test_return_shapes(tridiag):
+    A, ref = tridiag
+    vals = eigsh(A, k=3, which="SA", tol=1e-8,
+                 return_eigenvectors=False, raise_for_unconverged=False)
+    assert vals.shape == (3,)
