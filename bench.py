@@ -1,0 +1,79 @@
+"""Headline benchmark: preconditioned eigensolve on a 3-D Laplacian.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The benchmark mirrors BASELINE.md's north-star config (3-D Laplacian,
+Jacobi preconditioner, smallest pairs, block GD+k): wall-clock to converge
+k=10 smallest eigenpairs of a 64^3 (262,144-row) Laplacian to
+||r|| <= 1e-5 ||A|| in f32 on one chip. ``vs_baseline`` compares against a
+reference wall-time anchor measured for the upstream PRIMME C library
+(double precision, same operator/k/tol семантics) — values > 1 are faster
+than the anchor.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+# Anchor: upstream PRIMME (C, OpenBLAS, 1 socket) on the same 64^3 Jacobi
+# GD+k config takes ~2.5 s wall. Until a measured number for this exact
+# host exists, this constant is the comparison point.
+BASELINE_WALL_S = 2.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from primme_tpu import (PrimmeParams, Method, set_method,
+                            Stencil3DOperator, JacobiPrecond)
+    from primme_tpu.core.solver import solve_eigs
+
+    nx = ny = nz = 64
+    n = nx * ny * nz
+    A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
+    K = JacobiPrecond(A.diagonal())
+    p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
+                     max_matvecs=4000)
+    p = set_method(Method.GD_Olsen_plusK, p, has_precond=True)
+
+    v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 1)), jnp.float32)
+
+    run = jax.jit(lambda v0: solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32))
+    # compile
+    res = run(v0)
+    res.evals.block_until_ready()
+    # timed
+    t0 = time.perf_counter()
+    res = run(v0)
+    res.evals.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    evals = np.asarray(res.evals)
+    # analytic spectrum of the 7-pt Dirichlet Laplacian
+    th = lambda m, N: 2 - 2 * np.cos(np.pi * m / (N + 1)) + 4 * np.sin(
+        np.pi / (2 * (N + 1))) ** 2 * 0  # noqa: E731 (per-axis term below)
+    ax = lambda N: 2 - 2 * np.cos(np.pi * np.arange(1, N + 1) / (N + 1))  # noqa: E731
+    lam = (ax(nx)[:3, None, None] + ax(ny)[None, :3, None]
+           + ax(nz)[None, None, :3]).ravel()
+    lam = np.sort(lam)[:10]
+    err = float(np.abs(np.sort(evals) - lam).max())
+
+    print(json.dumps({
+        "metric": "laplacian64_k10_jacobi_wall",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_WALL_S / wall, 3),
+        "extra": {
+            "num_matvecs": int(res.stats.num_matvecs),
+            "eval_err_vs_analytic": err,
+            "max_resnorm": float(np.asarray(res.resnorms).max()),
+            "n": n,
+            "device": str(jax.devices()[0].platform),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
                         JacobiPrecond, aslinearoperator, apply_precond)
 from .core.solver import solve_eigs, EigsResult, Stats
 from .api import eigsh, PrimmeError
+from .svds import svds
 
 __version__ = "0.1.0"
 
@@ -27,6 +28,6 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
     "aslinearoperator", "apply_precond",
-    "solve_eigs", "EigsResult", "Stats", "eigsh", "PrimmeError",
+    "solve_eigs", "EigsResult", "Stats", "eigsh", "svds", "PrimmeError",
     "__version__",
 ]

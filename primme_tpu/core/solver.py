@@ -188,9 +188,18 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
 
     key, k0 = jax.random.split(key)
     X = _rand_block(k0, n, blk, dtype)
+    # User initial guesses fill the leading basis blocks; remaining blocks
+    # continue the Krylov chain from the last block (init.c:125: V = [user
+    # guesses, block Krylov]). Partial guess blocks leave zero columns,
+    # which block_ortho replaces with random vectors.
+    ngb = 0
+    v0pad = None
     if v0 is not None:
-        ng = min(v0.shape[1], blk)
-        X = X.at[:, :ng].set(v0[:, :ng].astype(dtype))
+        k0g = min(v0.shape[1], b0)
+        ngb = -(-k0g // blk)
+        v0pad = jnp.zeros((n, ngb * blk), dtype)
+        v0pad = v0pad.at[:, :k0g].set(v0[:, :k0g].astype(dtype))
+        X = jax.lax.dynamic_slice(v0pad, (0, 0), (n, blk))
 
     locked = (evecs, Bevecs) if cfg.noc > 0 else None
 
@@ -198,6 +207,11 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
         V, W, BV, X, key, nrand = carry
         key, kk = jax.random.split(key)
         bi = i * blk
+        if v0pad is not None and ngb > 1:
+            gb = jax.lax.dynamic_slice(
+                v0pad, (_i32(0), _i32(jnp.minimum(bi, (ngb - 1) * blk))),
+                (n, blk))
+            X = jnp.where(i < ngb, gb, X)
         nact = jnp.minimum(blk, b0 - bi).astype(jnp.int32)
         res = block_ortho(X, (V, BV), locked, nact, kk, Bop=B)
         V2 = _dus(V, res.X, 0, bi)
@@ -434,8 +448,8 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
     H = 0.5 * (H + _herm(H))
 
     stats = s.stats._replace(
-        num_restarts=s.stats.num_restarts + 1,
-        num_locked=s.stats.num_locked + nl.astype(jnp.int32))
+        num_restarts=_i32(s.stats.num_restarts + 1),
+        num_locked=_i32(s.stats.num_locked + nl))
     return s._replace(V=V, W=W, BV=BV, H=H, b=b_new,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
@@ -499,11 +513,11 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     H = _dus(H, _herm(hc), s.b, 0)
 
     stats = s.stats._replace(
-        num_outer_iterations=s.stats.num_outer_iterations + 1,
-        num_matvecs=s.stats.num_matvecs + nc.astype(jnp.int32) + n_mv_inner,
-        num_preconds=s.stats.num_preconds + n_prec,
-        num_inner_iterations=s.stats.num_inner_iterations + n_inner,
-        num_random=s.stats.num_random + ores.n_random.astype(jnp.int32))
+        num_outer_iterations=_i32(s.stats.num_outer_iterations + 1),
+        num_matvecs=_i32(s.stats.num_matvecs + nc + n_mv_inner),
+        num_preconds=_i32(s.stats.num_preconds + n_prec),
+        num_inner_iterations=_i32(s.stats.num_inner_iterations + n_inner),
+        num_random=_i32(s.stats.num_random + ores.n_random))
     return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc), prev_hvecs=prev,
                       key=key, stats=stats)
 

@@ -173,21 +173,25 @@ class ELLOperator(LinearOperator):
     (``tests/COMMON/matvec.f`` ``amux``) with a layout TPUs can stream.
     """
 
-    def __init__(self, cols, vals, shape=None):
+    def __init__(self, cols, vals, shape=None, colsT=None, valsT=None):
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self.vals = jnp.asarray(vals)
         n = self.cols.shape[0]
         self.shape = tuple(shape) if shape is not None else (n, n)
         self.dtype = self.vals.dtype
+        # Optional transposed layout for rmatmat (rectangular operators).
+        self.colsT = (jnp.asarray(colsT, jnp.int32)
+                      if colsT is not None else None)
+        self.valsT = jnp.asarray(valsT) if valsT is not None else None
 
     def _leaves(self):
-        return (self.cols, self.vals)
+        return (self.cols, self.vals, self.colsT, self.valsT)
 
     def _aux(self):
         return self.shape
 
     def _init_from(self, leaves, aux):
-        self.cols, self.vals = leaves
+        self.cols, self.vals, self.colsT, self.valsT = leaves
         self.shape = aux
         self.dtype = self.vals.dtype
 
@@ -196,13 +200,18 @@ class ELLOperator(LinearOperator):
         gathered = X[self.cols, :]                     # [n, w, k]
         return jnp.einsum("nw,nwk->nk", self.vals, gathered)
 
+    def rmatmat(self, X):
+        if self.colsT is None:
+            return super().rmatmat(X)
+        gathered = X[self.colsT, :]
+        return jnp.einsum("nw,nwk->nk", self.valsT.conj(), gathered)
+
     def diagonal(self):
         isdiag = self.cols == jnp.arange(self.shape[0], dtype=jnp.int32)[:, None]
         return jnp.sum(jnp.where(isdiag, self.vals, 0), axis=1)
 
     @staticmethod
-    def from_scipy(A) -> "ELLOperator":
-        """Build from any scipy sparse matrix (host-side)."""
+    def _pack(A):
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -215,7 +224,19 @@ class ELLOperator(LinearOperator):
             s, e = A.indptr[i], A.indptr[i + 1]
             cols[i, : e - s] = A.indices[s:e]
             vals[i, : e - s] = A.data[s:e]
-        return ELLOperator(cols, vals, shape=A.shape)
+        return cols, vals
+
+    @staticmethod
+    def from_scipy(A) -> "ELLOperator":
+        """Build from any scipy sparse matrix (host-side). Rectangular
+        matrices also pack the transposed layout so ``rmatmat`` works."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        cols, vals = ELLOperator._pack(A)
+        colsT, valsT = ELLOperator._pack(A.T.tocsr())
+        return ELLOperator(cols, vals, shape=A.shape, colsT=colsT,
+                           valsT=valsT)
 
     @staticmethod
     def from_coo(rows, cols, vals, shape) -> "ELLOperator":

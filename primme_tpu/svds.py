@@ -1,0 +1,287 @@
+"""Singular value solver: two-stage hybrid SVDS.
+
+TPU re-design of the reference's SVDS driver (``src/svds/primme_svds_c.c:219``):
+compute k singular triplets of a rectangular operator A by running the
+eigensolver on one of three operators (``primme_svds_op_*``,
+``include/primme_svds.h:59-64``):
+
+* ``AtA``  — A^H A (n x n), used when m >= n,
+* ``AAt``  — A A^H (m x m), used when m < n,
+* ``augmented`` — [[0, A^H], [A, 0]] ((m+n) x (m+n)).
+
+The **hybrid** method (``primme_svds_hybrid``) runs stage 1 on the normal
+equations (fast: singular values squared separate well) and stage 2 on the
+augmented operator, seeded with stage-1 triplets as initial guesses and
+with already-converged triplets as orthogonal constraints — the augmented
+stage restores full accuracy that squaring loses
+(``primme_svds_c.c:603-610`` for the tolerance/aNorm squaring,
+``copy_last_params_to_svds:856`` for the u = A v / sigma scaling).
+
+Target mapping follows ``primme_svds_interface.c:372-384``: largest ->
+eigen largest; smallest -> eigen smallest on normal eqs / closest_geq with
+safeguarded shifts sqrt((sigma-r)*sigma) on the augmented
+(``primme_svds_c.c:703-741``); closest_abs -> closest_abs with shifts
+(squared for normal eqs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import params as prm
+from .params import PrimmeParams, Target, Method, set_method, InitBasisMode
+from .operators import LinearOperator, FunctionOperator, aslinearoperator
+from .core.solver import solve_eigs
+
+
+def _normal_op(A: LinearOperator, use_ata: bool) -> FunctionOperator:
+    """A^H A (use_ata) or A A^H as a square operator."""
+    m, n = A.shape
+    if use_ata:
+        return FunctionOperator(lambda X: A.rmatmat(A.matmat(X)),
+                                (n, n), A.dtype)
+    return FunctionOperator(lambda X: A.matmat(A.rmatmat(X)),
+                            (m, m), A.dtype)
+
+
+def _aug_op(A: LinearOperator) -> FunctionOperator:
+    """Augmented [[0, A^H], [A, 0]] acting on stacked [v; u]
+    (v: n rows, u: m rows), as in ``matrixMatvec_eigs_Sprimme``
+    (``src/svds/primme_svds_c.c``)."""
+    m, n = A.shape
+
+    def f(X):
+        V, U = X[:n], X[n:]
+        return jnp.concatenate([A.rmatmat(U), A.matmat(V)], axis=0)
+
+    return FunctionOperator(f, (m + n, m + n), A.dtype)
+
+
+def _true_resnorms(A, U, V, svals):
+    """resNorm = sqrt(||A v - s u||^2 + ||A^H u - s v||^2)
+    (``primme_svds_c.c`` compute_resNorm)."""
+    sv = svals[None, :].astype(U.dtype)
+    R1 = A.matmat(V) - U * sv
+    R2 = A.rmatmat(U) - V * sv
+    return jnp.sqrt(jnp.sum(jnp.abs(R1) ** 2, axis=0)
+                    + jnp.sum(jnp.abs(R2) ** 2, axis=0))
+
+
+def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
+         which: str = "LM", v0: Any = None, u0: Any = None,
+         maxiter: Optional[int] = None, return_singular_vectors: bool = True,
+         method: str = "hybrid", methodStage1: Optional[Any] = None,
+         methodStage2: Optional[Any] = None, sigma: Optional[float] = None,
+         precAHA: Any = None, precAAH: Any = None, precAug: Any = None,
+         maxBlockSize: int = 0, return_stats: bool = False,
+         raise_for_unconverged: bool = False, seed: int = 0,
+         aNorm: float = 0.0):
+    """Compute k singular triplets of the rectangular operator ``A``.
+
+    Mirrors the reference Python binding (``Python/primme.pyx:1074``) with
+    scipy's ``svds`` calling convention. ``which`` in {'LM', 'SM'} or a
+    numeric value (closest_abs). ``method`` in {'hybrid',
+    'normalequations', 'augmented'} (``primme_svds_set_method``,
+    ``src/svds/primme_svds_interface.c:219``).
+    """
+    Aop = aslinearoperator(A)
+    m, n = Aop.shape
+    kmax = min(m, n)
+    if not (0 < k <= kmax):
+        raise ValueError(f"k={k} out of range for {m}x{n}")
+    use_ata = n <= m
+
+    shifts: tuple = ()
+    if isinstance(which, (int, float)) and not isinstance(which, bool):
+        sigma = float(which)
+        which = "CA"
+    which = str(which).upper()
+    if which == "SM" and sigma is not None or which == "CA":
+        which = "CA"
+        shifts = (float(sigma if sigma is not None else 0.0),)
+
+    eps = float(tol)
+    stats_all: dict = {}
+
+    def merge_stats(st, prefix):
+        for kk, vv in st._asdict().items():
+            stats_all[f"{prefix}_{kk}"] = np.asarray(vv).item()
+
+    # ------------------------------------------------------------------
+    # Stage 1
+    # ------------------------------------------------------------------
+    stage1_op = method in ("hybrid", "normalequations", "default")
+    if method not in ("hybrid", "normalequations", "augmented", "default"):
+        raise ValueError(f"unknown svds method {method!r}")
+
+    U = Vv = svals = resn = None
+    if stage1_op:
+        Nop = _normal_op(Aop, use_ata)
+        nn = Nop.shape[0]
+        if which == "LM":
+            tgt, tsh = Target.largest, ()
+        elif which == "SM":
+            tgt, tsh = Target.smallest, ()
+        else:
+            tgt, tsh = Target.closest_abs, tuple(s * s for s in shifts)
+        p1 = PrimmeParams(n=nn, num_evals=k, target=tgt, target_shifts=tsh,
+                          eps=eps, max_basis_size=(ncv or 0),
+                          max_block_size=maxBlockSize,
+                          a_norm=aNorm * aNorm if aNorm > 0 else 0.0,
+                          rng_seed=seed)
+        if maxiter:
+            p1 = p1.with_(max_matvecs=maxiter // 2)
+        meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
+        if isinstance(meth1, str):
+            meth1 = Method[meth1.replace("PRIMME_", "")]
+        K1 = precAHA if use_ata else precAAH
+        K1 = aslinearoperator(K1) if K1 is not None else None
+        p1 = set_method(meth1, p1, has_precond=K1 is not None)
+
+        g0 = None
+        if use_ata and v0 is not None:
+            g0 = jnp.asarray(np.atleast_2d(np.asarray(v0).T).T)
+        elif not use_ata and u0 is not None:
+            g0 = jnp.asarray(np.atleast_2d(np.asarray(u0).T).T)
+
+        inner1 = None
+        if p1.max_inner_iterations != 0:
+            from .core.inner import jdqmr_inner_solve as inner1
+        r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1)
+        merge_stats(r1.stats, "stage1")
+
+        w = jnp.maximum(jnp.real(r1.evals), 0.0)
+        svals = jnp.sqrt(w)
+        safe = jnp.maximum(svals, jnp.finfo(svals.dtype).tiny)
+        if use_ata:
+            Vv = r1.evecs
+            U = Aop.matmat(Vv) / safe[None, :].astype(Aop.dtype)
+        else:
+            U = r1.evecs
+            Vv = Aop.rmatmat(U) / safe[None, :].astype(Aop.dtype)
+        # normalize the derived side (guards sigma ~ 0 columns)
+        Un = jnp.sqrt(jnp.sum(jnp.abs(U) ** 2, axis=0))
+        U = U / jnp.maximum(Un, jnp.finfo(Un.dtype).tiny)[None, :].astype(U.dtype)
+        Vn = jnp.sqrt(jnp.sum(jnp.abs(Vv) ** 2, axis=0))
+        Vv = Vv / jnp.maximum(Vn, jnp.finfo(Vn.dtype).tiny)[None, :].astype(Vv.dtype)
+        resn = _true_resnorms(Aop, U, Vv, svals)
+        anorm_est = float(jnp.sqrt(jnp.maximum(r1.stats.anorm_estimate, 0.0)))
+    else:
+        anorm_est = aNorm
+
+    # ------------------------------------------------------------------
+    # Stage 2 (augmented refinement)
+    # ------------------------------------------------------------------
+    stage2 = (method in ("hybrid", "default")) or method == "augmented"
+    if stage2:
+        anorm2 = anorm_est if anorm_est > 0 else 0.0
+        eps_eff = eps if eps > 0 else 1e4 * float(jnp.finfo(
+            jnp.dtype(Aop.dtype)).eps)
+        rdt = jnp.zeros((), Aop.dtype).real.dtype
+        meps = float(jnp.finfo(rdt).eps)
+
+        if svals is not None:
+            svh = np.asarray(svals)
+            resh = np.asarray(resn)
+            conv = resh <= max(eps_eff, 3.16 * meps) * max(anorm2, 1e-300)
+            # constraints: converged triplets; guesses: the rest
+            conv_idx = np.where(conv)[0]
+            rest_idx = np.where(~conv)[0]
+        else:
+            svh = resh = None
+            conv_idx = np.array([], dtype=int)
+            rest_idx = np.arange(k)
+
+        ne2 = int(len(rest_idx))
+        if ne2 > 0:
+            Aug = _aug_op(Aop)
+            sq2 = np.sqrt(2.0)
+            if svh is not None:
+                stack = jnp.concatenate([Vv, U], axis=0) / sq2
+                oc = stack[:, conv_idx] if len(conv_idx) else None
+                g2 = stack[:, rest_idx]
+            else:
+                oc, g2 = None, None
+
+            if which == "LM":
+                tgt2, tsh2 = Target.largest, ()
+            elif which == "SM":
+                min_val = max(anorm2 * meps, 1e-300)
+                if svh is not None:
+                    lows = np.sqrt(np.abs(np.maximum(
+                        svh[rest_idx] - resh[rest_idx], 0.0)
+                        * svh[rest_idx]))
+                    tsh2 = tuple(sorted(np.maximum(lows, min_val)))
+                else:
+                    tsh2 = (min_val,)
+                tgt2 = Target.closest_geq
+            else:
+                tgt2, tsh2 = Target.closest_abs, shifts
+
+            p2 = PrimmeParams(
+                n=m + n, num_evals=ne2, target=tgt2, target_shifts=tsh2,
+                eps=eps, max_block_size=maxBlockSize,
+                num_ortho_const=(len(conv_idx) if oc is not None else 0),
+                a_norm=anorm2, rng_seed=seed + 1)
+            meth2 = methodStage2 or (Method.DEFAULT_MIN_MATVECS
+                                     if which == "LM" else Method.JDQMR)
+            if isinstance(meth2, str):
+                meth2 = Method[meth2.replace("PRIMME_", "")]
+            K2 = aslinearoperator(precAug) if precAug is not None else None
+            p2 = set_method(meth2, p2, has_precond=K2 is not None)
+
+            inner2 = None
+            if p2.max_inner_iterations != 0:
+                from .core.inner import jdqmr_inner_solve as inner2
+            r2 = solve_eigs(Aug, p2, K=K2, v0=g2, ortho_const=oc,
+                            inner_solve=inner2)
+            merge_stats(r2.stats, "stage2")
+
+            sv2 = jnp.abs(jnp.real(r2.evals))
+            V2 = r2.evecs[:n]
+            U2 = r2.evecs[n:]
+            V2n = jnp.sqrt(jnp.sum(jnp.abs(V2) ** 2, axis=0))
+            U2n = jnp.sqrt(jnp.sum(jnp.abs(U2) ** 2, axis=0))
+            V2 = V2 / jnp.maximum(V2n, 1e-30)[None, :].astype(V2.dtype)
+            U2 = U2 / jnp.maximum(U2n, 1e-30)[None, :].astype(U2.dtype)
+            res2 = _true_resnorms(Aop, U2, V2, sv2)
+
+            if svh is not None and len(conv_idx):
+                svals = jnp.concatenate([jnp.asarray(svh[conv_idx],
+                                                     sv2.dtype), sv2])
+                U = jnp.concatenate([U[:, conv_idx], U2], axis=1)
+                Vv = jnp.concatenate([Vv[:, conv_idx], V2], axis=1)
+                resn = jnp.concatenate([jnp.asarray(resh[conv_idx],
+                                                    res2.dtype), res2])
+            else:
+                svals, U, Vv, resn = sv2, U2, V2, res2
+
+    # sort final triplets (largest-first like scipy's svds reversed order)
+    order = np.argsort(-np.asarray(svals)) if which == "LM" else \
+        np.argsort(np.asarray(svals))
+    svals_h = np.asarray(svals)[order]
+    resn_h = np.asarray(resn)[order]
+    U_h = np.asarray(U)[:, order]
+    V_h = np.asarray(Vv)[:, order]
+
+    if raise_for_unconverged:
+        from .api import PrimmeError
+        eps_eff = eps if eps > 0 else 1e4 * float(jnp.finfo(
+            jnp.dtype(Aop.dtype)).eps)
+        bad = int(np.sum(resn_h > 10 * eps_eff * max(anorm_est, svals_h.max()
+                                                     if len(svals_h) else 1)))
+        if bad:
+            raise PrimmeError(f"{bad}/{k} triplets unconverged "
+                              f"(resnorms={resn_h})")
+
+    stats_all["resnorms"] = resn_h
+    out = [svals_h]
+    if return_singular_vectors:
+        out = [U_h, svals_h, V_h.conj().T]
+    if return_stats:
+        out.append(stats_all)
+    return tuple(out) if len(out) > 1 else out[0]

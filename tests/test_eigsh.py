@@ -144,3 +144,32 @@ def test_return_shapes(tridiag):
     vals = eigsh(A, k=3, which="SA", tol=1e-8,
                  return_eigenvectors=False, raise_for_unconverged=False)
     assert vals.shape == (3,)
+
+
+@pytest.mark.parametrize("method", [Method.JDQMR, Method.JDQMR_ETol])
+def test_jdqmr(tridiag, method):
+    A, ref = tridiag
+    vals, vecs, st = eigsh(A, k=5, which="SA", tol=1e-9, method=method,
+                           return_stats=True, maxMatvecs=5000,
+                           raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
+    assert st["num_inner_iterations"] > 0
+
+
+def test_jdqmr_preconditioned(tridiag):
+    A, ref = tridiag
+    vals, _, st = eigsh(A, k=5, which="SA", tol=1e-9,
+                        method=Method.JDQMR_ETol, jacobi=True,
+                        return_stats=True, maxMatvecs=5000,
+                        raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
+    assert st["num_matvecs"] < 400
+
+
+def test_jdqmr_interior(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=5, which="SM", sigma=50.0, tol=1e-9,
+                    method=Method.JDQMR, maxMatvecs=8000,
+                    raise_for_unconverged=False)
+    expect = ref[np.argsort(np.abs(ref - 50.0))][:5]
+    assert_close(vals, expect, tol=1e-6)
