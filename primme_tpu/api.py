@@ -45,7 +45,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           maxPrevRetain: int = -1, method: Optional[Any] = None,
           locking: Optional[bool] = None, maxMatvecs: Optional[int] = None,
           jacobi: Optional[bool] = None, raise_for_unconverged: bool = True,
-          dtype: Any = None, seed: int = 0):
+          dtype: Any = None, seed: int = 0, projection: Any = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -100,6 +100,11 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         meth = Method.DEFAULT_MIN_MATVECS
     elif isinstance(meth, str):
         meth = Method[meth.replace("PRIMME_", "")]
+    if projection is not None:
+        from .params import Projection
+        if isinstance(projection, str):
+            projection = Projection(projection.replace("primme_proj_", ""))
+        p = p.with_(projection=projection)
     p = set_method(meth, p, has_precond=K is not None,
                    has_mass=Mop is not None)
 
@@ -116,14 +121,18 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         p = p.with_(num_ortho_const=int(oc.shape[1]))
         p = resolve_defaults(p)
 
-    inner = None
-    if p.max_inner_iterations != 0:
-        from .core.inner import jdqmr_inner_solve
-        inner = jdqmr_inner_solve
-
-    res: EigsResult = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
-                                 ortho_const=oc, inner_solve=inner,
-                                 dtype=dtype)
+    if p.dynamic_method_switch:
+        from .core.dynamic import solve_eigs_dynamic
+        res: EigsResult = solve_eigs_dynamic(
+            Aop, p, B=Mop, K=K, v0=v0j, ortho_const=oc, dtype=dtype,
+            has_precond=K is not None)
+    else:
+        inner = None
+        if p.max_inner_iterations != 0:
+            from .core.inner import jdqmr_inner_solve
+            inner = jdqmr_inner_solve
+        res = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
+                         ortho_const=oc, inner_solve=inner, dtype=dtype)
 
     resnorms = np.asarray(res.resnorms)
     anorm = float(res.stats.anorm_estimate)

@@ -281,3 +281,152 @@ def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
     R = WX - BX * lam[None, :]
     resnorms = jnp.linalg.norm(R, axis=0)
     return Candidates(X=X, WX=WX, BX=BX, R=R, resnorms=jnp.real(resnorms))
+
+
+# ---------------------------------------------------------------------------
+# Harmonic and refined extraction (solve_H_Harm / solve_H_Ref,
+# src/eigs/solve_projection.c:430,541)
+# ---------------------------------------------------------------------------
+#
+# The reference maintains an incremental QR of (A - tau B) V (update_Q,
+# src/eigs/update_W.c:78) and runs SVD/eig on the R factor. The TPU-native
+# formulation instead maintains M = W^H W (one extra Gram panel per
+# expansion) and works with
+#
+#     G2(tau) = ((A-tau)V)^H ((A-tau)V) = M - tau (H + H^H) + tau^2 I ,
+#
+# so refined extraction is "smallest eigenvector of G2(tau_i)" per target
+# pair (vmapped small eigh, no QR state), and harmonic extraction is the
+# Hermitian-definite pencil  (H - tau I) h = mu G2(tau) h  reduced by
+# Cholesky (harmonic value theta = tau + 1/mu). This squares the
+# conditioning relative to the reference's QR (fine at f64; at f32 prefer
+# RR or looser tolerances).
+
+
+def _g2_of_tau(H, M, tau, amask):
+    mmax = H.shape[0]
+    am2 = (amask[:, None] & amask[None, :])
+    Hm = jnp.where(am2, H, 0)
+    Mm = jnp.where(am2, M, 0)
+    t = tau.astype(H.dtype)
+    G2 = Mm - t * (Hm + _herm(Hm)) \
+        + (t * t.conj()) * jnp.diag(amask.astype(H.dtype))
+    return 0.5 * (G2 + _herm(G2))
+
+
+def solve_H_refined(H, M, b, target: Target, shifts, shift_idx):
+    """Refined extraction: per-pair shifts tau_i (the current Ritz values,
+    falling back to the target shift), each pair's coefficient vector being
+    the smallest eigenvector of G2(tau_i) — the minimizer of
+    ||(A - tau_i)Vh|| over unit h (``solve_H_Ref``,
+    ``src/eigs/solve_projection.c:541``; per-pair shift policy from
+    ``prepare_vecs:842``). Returns pairs in the Rayleigh-Ritz target
+    order with refined vectors and Rayleigh-quotient values."""
+    mmax = H.shape[0]
+    base = solve_H_rr(H, b, target, shifts, shift_idx)
+    amask = col_mask(mmax, b)
+    rdt = real_dtype(H.dtype)
+    s0 = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
+    taus = jnp.where(jnp.isfinite(base.hvals), base.hvals,
+                     s0.astype(base.hvals.dtype))
+
+    scale = 2.0 * jnp.max(jnp.abs(M)) + 2.0 * jnp.max(
+        jnp.abs(taus[0]) ** 2 + jnp.abs(H[0, 0])) + 1.0
+    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
+
+    def one(tau):
+        G2 = _g2_of_tau(H, M, tau, amask)
+        G2 = G2 + jnp.diag(jnp.where(amask, 0, ramp)).astype(H.dtype)
+        w, Z = jnp.linalg.eigh(G2)
+        return Z[:, 0]
+
+    hv = jax.vmap(one)(taus).T                     # [mmax, mmax] columns
+    # Refined vectors from nearby shifts can coincide (unlike eigh's
+    # mutually orthogonal columns). Sequentially orthonormalize via QR: a
+    # (near-)duplicate column gets an orthonormal completion direction,
+    # whose large residual sends it back to the unconverged pool instead of
+    # producing a duplicate converged pair (the reference handles this via
+    # the "arbitrary vectors" machinery in ``prepare_vecs``,
+    # ``src/eigs/solve_projection.c:842``).
+    hv = hv * base.active.astype(H.dtype)[None, :]
+    hv = jnp.linalg.qr(hv)[0]
+    # Rayleigh quotients of the refined vectors
+    Hm = jnp.where(amask[:, None] & amask[None, :], H, 0)
+    rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
+    nrm2 = jnp.real(jnp.sum(jnp.abs(hv) ** 2, axis=0))
+    rq = rq / jnp.maximum(nrm2, jnp.finfo(rdt).tiny)
+    inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    hvals = jnp.where(base.active, rq, inf)
+    hv = hv * base.active.astype(H.dtype)[None, :]
+    return ProjectedSolution(hvals=hvals, hvecs=hv, active=base.active)
+
+
+def solve_H_harmonic(H, M, b, target: Target, shifts, shift_idx):
+    """Harmonic Rayleigh-Ritz (``solve_H_Harm``,
+    ``src/eigs/solve_projection.c:430``): solve the Hermitian-definite
+    pencil (H - tau I) h = mu G2(tau) h via Cholesky of G2; harmonic
+    values theta = tau + 1/mu sorted by target; returned values are the
+    Rayleigh quotients (as the reference computes hVals from H)."""
+    mmax = H.shape[0]
+    rdt = real_dtype(H.dtype)
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    tau = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)].astype(rdt)
+
+    G2 = _g2_of_tau(H, M, tau, amask)
+    # Regularize: unit diagonal on inactive coords; small ridge for safety.
+    eps_r = jnp.asarray(100 * machine_eps(H.dtype), rdt)
+    ridge = eps_r * (jnp.max(jnp.real(jnp.diagonal(G2))) + 1.0)
+    G2 = G2 + jnp.diag(jnp.where(amask, ridge, 1.0)).astype(H.dtype)
+    L = jnp.linalg.cholesky(G2)
+    Hm = jnp.where(am2, H, 0) - tau.astype(H.dtype) * jnp.diag(
+        amask.astype(H.dtype))
+    # S = L^{-1} (H - tau I) L^{-H}
+    S1 = jax.scipy.linalg.solve_triangular(L, Hm, lower=True)
+    S = jax.scipy.linalg.solve_triangular(L, _herm(S1), lower=True)
+    S = 0.5 * (S + _herm(S))
+    # Sentinel ramp on inactive coords (decoupled: Hm zero there, L unit).
+    scale = 2.0 * jnp.max(jnp.abs(S)) + 1.0
+    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
+    S = S + jnp.diag(jnp.where(amask, 0, ramp)).astype(H.dtype)
+    mu, Z = jnp.linalg.eigh(S)
+    hv = jax.scipy.linalg.solve_triangular(_herm(L), Z, lower=False)
+
+    support_inactive = jnp.sum(
+        jnp.abs(Z) ** 2 * (~amask).astype(rdt)[:, None], axis=0)
+    is_pad = support_inactive > 0.5
+    # harmonic values for sorting; guard mu ~ 0 (theta -> +/- inf)
+    safe_mu = jnp.where(jnp.abs(mu) < jnp.finfo(rdt).tiny,
+                        jnp.finfo(rdt).tiny, mu)
+    theta = tau + 1.0 / safe_mu
+    keys = target_sort_keys(theta, target, shifts.astype(rdt),
+                            jnp.zeros((), jnp.int32))
+    inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    keys = jnp.where(is_pad, inf, keys)
+    order = jnp.argsort(keys)
+    hv = hv[:, order]
+    is_pad = is_pad[order]
+    # normalize coefficient vectors to unit 2-norm (V-metric)
+    nrm = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.abs(hv) ** 2, axis=0)),
+                               jnp.finfo(rdt).tiny))
+    hv = hv / nrm[None, :].astype(H.dtype)
+    hv = hv * (~is_pad).astype(H.dtype)[None, :]
+    Hm2 = jnp.where(am2, H, 0)
+    rq = jnp.real(jnp.sum(hv.conj() * (Hm2 @ hv), axis=0))
+    hvals = jnp.where(is_pad, inf, rq)
+    return ProjectedSolution(hvals=hvals, hvecs=hv, active=~is_pad)
+
+
+def orthonormalize_coeffs(C, valid, dtype_eps):
+    """Orthonormalize small coefficient columns (rank-revealing, eigh
+    based); invalid/dependent columns zeroed. Used at restart when the
+    extraction produced non-orthogonal coefficient vectors (refined /
+    harmonic; ``ortho_coefficient_vectors``, ``src/eigs/restart.c:2330``)."""
+    C = C * valid.astype(C.dtype)[None, :]
+    G = gram(C, C)
+    w, U = jnp.linalg.eigh(G)
+    wmax = jnp.maximum(jnp.max(w), 1.0)
+    ok = w > 64.0 * dtype_eps * wmax
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, w, 1.0)), 0.0)
+    Q = bcomb(C, U * inv[None, :].astype(C.dtype))
+    return Q, ok

@@ -36,10 +36,11 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..params import PrimmeParams, Target, ConvTest
+from ..params import PrimmeParams, Target, ConvTest, Projection
 from . import linalg as la
 from .linalg import (Candidates, bcomb, col_mask, gram, mask_cols,
-                     real_dtype, machine_eps, solve_H_rr, block_ortho,
+                     real_dtype, machine_eps, solve_H_rr, solve_H_refined,
+                     solve_H_harmonic, orthonormalize_coeffs, block_ortho,
                      compute_residuals, target_sort_keys, _herm)
 
 
@@ -85,6 +86,7 @@ class SolverState(NamedTuple):
     BV: jax.Array
     # Replicated small dense state
     H: jax.Array                 # [mmax, mmax] projected matrix V^H A V
+    M: jax.Array                 # [mmax, mmax] W^H W (refined/harmonic only)
     b: jax.Array                 # traced basis size
     prev_hvecs: jax.Array        # [mmax, kmax] +k retention candidates
     # Locked pairs / ortho constraints: columns [0, noc) are user
@@ -148,6 +150,7 @@ class SolveConfig(NamedTuple):
     leftX: bool
     skewQ: bool
     rightQ: bool
+    projection: Projection
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
@@ -166,7 +169,8 @@ def make_config(p: PrimmeParams) -> SolveConfig:
         max_inner=p.max_inner_iterations, conv_test=p.conv_test,
         rel_tol_base=p.rel_tol_base, skewX=p.projectors.SkewX,
         leftQ=p.projectors.LeftQ, leftX=p.projectors.LeftX,
-        skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ)
+        skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ,
+        projection=p.projection)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +229,12 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     b = jnp.asarray(b0, jnp.int32)
     H = gram(V, W)  # inactive rows/cols exactly zero already
     H = 0.5 * (H + _herm(H))
-    return V, W, BV, H, b, key, jnp.asarray(b0, jnp.int32), nrand
+    if cfg.projection == Projection.RR:
+        M = jnp.zeros((mmax, mmax), dtype)
+    else:
+        M = gram(W, W)
+        M = 0.5 * (M + _herm(M))
+    return V, W, BV, H, M, b, key, jnp.asarray(b0, jnp.int32), nrand
 
 
 # ---------------------------------------------------------------------------
@@ -252,8 +261,13 @@ def _tolerance(cfg: SolveConfig, anorm):
 
 def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
     c = cfg.cwin
-    sol = solve_H_rr(s.H, s.b, cfg.target, shifts,
-                     jnp.minimum(s.num_locked, shifts.shape[0] - 1))
+    sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
+    if cfg.projection == Projection.refined:
+        sol = solve_H_refined(s.H, s.M, s.b, cfg.target, shifts, sidx)
+    elif cfg.projection == Projection.harmonic:
+        sol = solve_H_harmonic(s.H, s.M, s.b, cfg.target, shifts, sidx)
+    else:
+        sol = solve_H_rr(s.H, s.b, cfg.target, shifts, sidx)
     hv_c = sol.hvecs[:, :c]
     hl_c = sol.hvals[:c]
     cands = compute_residuals(s.V, s.W, s.BV if has_B else None,
@@ -408,6 +422,12 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
     keep_order = jnp.argsort(keep_key)[:mrs]
     keep_ok = active[keep_order] & ~locked_now[keep_order]
     Ckeep = win.sol.hvecs[:, keep_order] * keep_ok.astype(s.H.dtype)[None, :]
+    if cfg.projection != Projection.RR:
+        # refined/harmonic coefficient vectors are not mutually orthogonal;
+        # restart requires an orthonormal C (restart_refined/harmonic,
+        # src/eigs/restart.c:1837,2255).
+        Ckeep, keep_ok = orthonormalize_coeffs(
+            Ckeep, keep_ok, machine_eps(s.V.dtype))
 
     # --- +k: retain previous-iteration coefficient vectors ---------------
     if kmax > 0:
@@ -446,11 +466,17 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
     BV = bcomb(s.BV, Cfull) if has_B else V
     H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
     H = 0.5 * (H + _herm(H))
+    if cfg.projection == Projection.RR:
+        M = s.M
+    else:
+        M = gram(Cfull, jnp.matmul(s.M, Cfull,
+                                   precision=jax.lax.Precision.HIGHEST))
+        M = 0.5 * (M + _herm(M))
 
     stats = s.stats._replace(
         num_restarts=_i32(s.stats.num_restarts + 1),
         num_locked=_i32(s.stats.num_locked + nl))
-    return s._replace(V=V, W=W, BV=BV, H=H, b=b_new,
+    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=b_new,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
                       locked_res=locked_res, num_locked=num_locked,
@@ -511,6 +537,12 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     hc = gram(V, Y)                      # [mmax, blk] new columns of H
     H = _dus(s.H, hc, 0, s.b)
     H = _dus(H, _herm(hc), s.b, 0)
+    if cfg.projection == Projection.RR:
+        M = s.M
+    else:
+        mc = gram(W, Y)
+        M = _dus(s.M, mc, 0, s.b)
+        M = _dus(M, _herm(mc), s.b, 0)
 
     stats = s.stats._replace(
         num_outer_iterations=_i32(s.stats.num_outer_iterations + 1),
@@ -518,8 +550,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         num_preconds=_i32(s.stats.num_preconds + n_prec),
         num_inner_iterations=_i32(s.stats.num_inner_iterations + n_inner),
         num_random=_i32(s.stats.num_random + ores.n_random))
-    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc), prev_hvecs=prev,
-                      key=key, stats=stats)
+    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=_i32(s.b + nc),
+                      prev_hvecs=prev, key=key, stats=stats)
 
 
 # ---------------------------------------------------------------------------
@@ -531,16 +563,10 @@ def _shift_array(p: PrimmeParams, rdt) -> jax.Array:
     return jnp.asarray(ts, rdt)
 
 
-def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
-               ortho_const=None, key=None, inner_solve=None,
-               dtype=None, debug=False) -> EigsResult:
-    """Run the eigensolver. All operators are
-    :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
-    (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
-
-    This is the analogue of ``wrapper_Sprimme`` + ``main_iter_Sprimme``
-    (``src/eigs/primme_c.c:278``, ``src/eigs/main_iter.c:176``).
-    """
+def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
+                 ortho_const=None, key=None, dtype=None):
+    """Build config + initial state (``wrapper_Sprimme`` setup portion,
+    ``src/eigs/primme_c.c:278``)."""
     cfg = make_config(p)
     dtype = jnp.dtype(dtype or A.dtype)
     rdt = real_dtype(dtype)
@@ -550,7 +576,6 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
 
     shifts = _shift_array(p, rdt)
 
-    # Locked/constraint storage
     evecs0 = jnp.zeros((n, cfg.lockmax), dtype)
     if ortho_const is not None:
         noc = ortho_const.shape[1]
@@ -562,23 +587,34 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
         Bevecs0 = (evecs0.at[:, :cfg.noc].set(
             B.matmat(evecs0[:, :cfg.noc])) if cfg.noc > 0 else evecs0)
 
-    V, W, BV, H, b, key, nmv0, nrand0 = init_basis(
+    V, W, BV, H, M, b, key, nmv0, nrand0 = init_basis(
         A, B, cfg, key, evecs0, Bevecs0, v0, dtype)
 
     stats = Stats.zeros(rdt)._replace(num_matvecs=nmv0,
                                       num_random=nrand0.astype(jnp.int32))
     s0 = SolverState(
-        V=V, W=W, BV=BV, H=H, b=b,
+        V=V, W=W, BV=BV, H=H, M=M, b=b,
         prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), dtype),
         evecs=evecs0, Bevecs=Bevecs0,
         locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         num_locked=jnp.zeros((), jnp.int32), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
+    return cfg, shifts, s0
+
+
+def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
+                s: SolverState, seg_end, debug=False) -> SolverState:
+    """Run the main iteration until done, limits, or
+    ``num_outer_iterations >= seg_end`` (``main_iter_Sprimme``,
+    ``src/eigs/main_iter.c:176``). Segmentation serves the dynamic
+    method-switching driver, which times segments on the host."""
+    mmax = cfg.mmax
 
     def cond(s: SolverState):
         return (~s.done
                 & (s.stats.num_outer_iterations < cfg.max_outer)
+                & (s.stats.num_outer_iterations < seg_end)
                 & (s.stats.num_matvecs < cfg.max_matvecs))
 
     def body(s: SolverState):
@@ -602,33 +638,35 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
             amask = jnp.arange(cfg.mmax) < s.b
             mincn = jnp.min(jnp.where(amask, cn, 1e9))
             vtq = jnp.max(jnp.abs(gram(s.evecs, s.V)))
-            G = gram(s.V, s.V)
-            I2 = jnp.diag(amask.astype(G.dtype))
-            vtv = jnp.max(jnp.abs(G * (amask[:, None] & amask[None, :]) - I2))
-            Gq = gram(s.evecs, s.evecs)
-            qmask = jnp.arange(cfg.lockmax) < (cfg.noc + s.num_locked)
-            qtq = jnp.max(jnp.abs(Gq * (qmask[:, None] & qmask[None, :])
-                                  - jnp.diag(qmask.astype(Gq.dtype))))
             jax.debug.print(
-                "it={it} b={b} lock={lk} nconv={nc} nunc={nu} need={nd} "
-                "res0={r0:.2e} hv0={h0:.3e} mincol={mc:.2e} "
-                "VtQ={vq:.2e} VtV={vv:.2e} QtQ={qq:.2e}",
+                "it={it} b={b} lock={lk} nconv={nc} nunc={nu} "
+                "res0={r0:.2e} hv0={h0:.3e} mincol={mc:.2e} VtQ={vq:.2e}",
                 it=s.stats.num_outer_iterations, b=s.b, lk=s.num_locked,
-                nc=win.nconv, nu=n_unconv, nd=win.n_needed,
-                r0=win.cands.resnorms[0],
-                h0=win.sol.hvals[0], mc=mincn, vq=vtq, vv=vtv, qq=qtq)
+                nc=win.nconv, nu=n_unconv, r0=win.cands.resnorms[0],
+                h0=win.sol.hvals[0], mc=mincn, vq=vtq)
         s = jax.lax.cond(done, lambda s: s, when_active, s)
         return s._replace(done=done)
 
-    s = jax.lax.while_loop(cond, body, s0)
+    return jax.lax.while_loop(cond, body, s)
 
-    # ---- final extraction (verify_norms, main_iter.c:1864) --------------
-    win, stats = prepare_window(cfg, s, shifts, B is not None)
+
+def extract_result(cfg: SolveConfig, s: SolverState, shifts,
+                   has_B: bool) -> EigsResult:
+    """Final extraction + recheck (``verify_norms``,
+    ``src/eigs/main_iter.c:1864``): merge locked and basis-resident pairs,
+    sort by target."""
+    win, stats = prepare_window(cfg, s, shifts, has_B)
     s = s._replace(stats=stats)
     ne = cfg.ne
-    # basis-resident pairs (sorted) fill slots beyond the locked ones
-    basis_vals = jnp.where(jnp.isfinite(win.sol.hvals[:cfg.cwin]),
-                           win.sol.hvals[:cfg.cwin], 0).astype(rdt)
+    rdt = real_dtype(s.V.dtype)
+    big = jnp.asarray(jnp.finfo(rdt).max / 16, rdt)
+
+    bactive = win.sol.active[:cfg.cwin]
+    basis_vals = jnp.where(bactive, jnp.where(
+        jnp.abs(win.sol.hvals[:cfg.cwin]) < big,
+        win.sol.hvals[:cfg.cwin], 0), 0).astype(rdt)
+    basis_res = jnp.where(bactive, win.cands.resnorms, big)
+
     out_cols = jnp.arange(ne)
     from_locked = out_cols < s.num_locked
     bidx = jnp.clip(out_cols - s.num_locked, 0, cfg.cwin - 1)
@@ -638,15 +676,33 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     evecs_locked = s.evecs[:, cfg.noc + lidx]
     out_vecs = jnp.where(from_locked[None, :], evecs_locked, evecs_basis)
     out_vals = jnp.where(from_locked, s.locked_vals[lidx], basis_vals[bidx])
-    out_res = jnp.where(from_locked, s.locked_res[lidx],
-                        win.cands.resnorms[bidx])
+    out_res = jnp.where(from_locked, s.locked_res[lidx], basis_res[bidx])
 
-    # final target-order sort of the merged output
     keys = target_sort_keys(out_vals, cfg.target, shifts.astype(rdt),
                             jnp.zeros((), jnp.int32))
+    keys = jnp.where(out_res >= big, jnp.asarray(jnp.finfo(rdt).max, rdt),
+                     keys)
     order = jnp.argsort(keys)
     out_vals = out_vals[order]
     out_vecs = out_vecs[:, order]
     out_res = out_res[order]
     return EigsResult(evals=out_vals, evecs=out_vecs, resnorms=out_res,
                       stats=s.stats)
+
+
+def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
+               ortho_const=None, key=None, inner_solve=None,
+               dtype=None, debug=False) -> EigsResult:
+    """Run the eigensolver. All operators are
+    :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
+    (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
+
+    This is the analogue of ``wrapper_Sprimme`` + ``main_iter_Sprimme``
+    (``src/eigs/primme_c.c:278``, ``src/eigs/main_iter.c:176``).
+    """
+    cfg, shifts, s0 = setup_solver(A, p, B=B, v0=v0,
+                                   ortho_const=ortho_const, key=key,
+                                   dtype=dtype)
+    s = run_segment(cfg, A, B, K, inner_solve, shifts, s0,
+                    jnp.asarray((1 << 31) - 1, jnp.int32), debug=debug)
+    return extract_result(cfg, s, shifts, B is not None)

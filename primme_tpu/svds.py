@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import params as prm
-from .params import PrimmeParams, Target, Method, set_method, InitBasisMode
+from .params import (PrimmeParams, Target, Method, set_method,
+                     InitBasisMode, Projection)
 from .operators import LinearOperator, FunctionOperator, aslinearoperator
 from .core.solver import solve_eigs
 
@@ -227,6 +228,11 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 eps=eps, max_block_size=maxBlockSize,
                 num_ortho_const=(len(conv_idx) if oc is not None else 0),
                 a_norm=anorm2, rng_seed=seed + 1)
+            if which != "LM":
+                # refined extraction works better than RR on the augmented
+                # operator for non-largest targets
+                # (primme_svds_interface.c:391-396)
+                p2 = p2.with_(projection=Projection.refined)
             meth2 = methodStage2 or (Method.DEFAULT_MIN_MATVECS
                                      if which == "LM" else Method.JDQMR)
             if isinstance(meth2, str):

@@ -173,3 +173,29 @@ def test_jdqmr_interior(tridiag):
                     raise_for_unconverged=False)
     expect = ref[np.argsort(np.abs(ref - 50.0))][:5]
     assert_close(vals, expect, tol=1e-6)
+
+
+@pytest.mark.parametrize("proj", ["refined", "harmonic"])
+def test_projections_interior(tridiag, proj):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=5, which="SM", sigma=50.0, tol=1e-9,
+                    method=Method.GD_plusK, projection=proj,
+                    maxMatvecs=6000, raise_for_unconverged=False)
+    expect = ref[np.argsort(np.abs(ref - 50.0))][:5]
+    assert_close(vals, expect, tol=1e-6)
+
+
+def test_refined_extreme(tridiag):
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=5, which="SA", tol=1e-9, projection="refined",
+                    method=Method.GD_plusK, maxMatvecs=3000,
+                    raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
+
+
+def test_dynamic_method(tridiag):
+    A, ref = tridiag
+    vals, _, st = eigsh(A, k=5, which="SA", tol=1e-9, method=Method.DYNAMIC,
+                        return_stats=True, maxMatvecs=5000,
+                        raise_for_unconverged=False)
+    assert_close(vals, ref[:5])
