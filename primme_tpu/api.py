@@ -45,7 +45,9 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           maxPrevRetain: int = -1, method: Optional[Any] = None,
           locking: Optional[bool] = None, maxMatvecs: Optional[int] = None,
           jacobi: Optional[bool] = None, raise_for_unconverged: bool = True,
-          dtype: Any = None, seed: int = 0, projection: Any = None):
+          dtype: Any = None, seed: int = 0, projection: Any = None,
+          return_history: bool = False, monitor: Any = None,
+          mesh: Any = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -121,6 +123,45 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         p = p.with_(num_ortho_const=int(oc.shape[1]))
         p = resolve_defaults(p)
 
+    history: dict = {"num_matvecs": [], "num_outer": [], "num_locked": [],
+                     "num_converged": [], "basis_size": [], "event": [],
+                     "hvals": [], "resnorms": []}
+
+    mon = monitor
+    if return_history and mon is None:
+        def mon(event, num_outer, num_matvecs, num_locked, num_converged,
+                basis_size, hvals, resnorms):
+            history["event"].append(int(event))
+            history["num_outer"].append(int(num_outer))
+            history["num_matvecs"].append(int(num_matvecs))
+            history["num_locked"].append(int(num_locked))
+            history["num_converged"].append(int(num_converged))
+            history["basis_size"].append(int(basis_size))
+            history["hvals"].append(np.asarray(hvals))
+            history["resnorms"].append(np.asarray(resnorms))
+
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(axis, None))
+
+        def _shard_leaf(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and                     x.shape[0] % mesh.devices.size == 0:
+                spec = P(axis, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return x
+
+        Aop = jax.tree_util.tree_map(_shard_leaf, Aop)
+        if Mop is not None:
+            Mop = jax.tree_util.tree_map(_shard_leaf, Mop)
+        if K is not None:
+            K = jax.tree_util.tree_map(_shard_leaf, K)
+        if v0j is not None:
+            v0j = jax.device_put(v0j, shard)
+        if oc is not None:
+            oc = jax.device_put(oc, shard)
+
     if p.dynamic_method_switch:
         from .core.dynamic import solve_eigs_dynamic
         res: EigsResult = solve_eigs_dynamic(
@@ -132,7 +173,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             from .core.inner import jdqmr_inner_solve
             inner = jdqmr_inner_solve
         res = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
-                         ortho_const=oc, inner_solve=inner, dtype=dtype)
+                         ortho_const=oc, inner_solve=inner, dtype=dtype,
+                         monitor=mon, shard=shard)
 
     resnorms = np.asarray(res.resnorms)
     anorm = float(res.stats.anorm_estimate)
@@ -146,6 +188,9 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
 
     stats = {k_: np.asarray(v).item()
              for k_, v in res.stats._asdict().items()}
+    if return_history:
+        stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
+            v_[0], np.ndarray) else v_) for k_, v_ in history.items()}
     out = [np.asarray(res.evals)]
     if return_eigenvectors:
         out.append(np.asarray(res.evecs))

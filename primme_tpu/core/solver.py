@@ -564,7 +564,7 @@ def _shift_array(p: PrimmeParams, rdt) -> jax.Array:
 
 
 def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
-                 ortho_const=None, key=None, dtype=None):
+                 ortho_const=None, key=None, dtype=None, shard=None):
     """Build config + initial state (``wrapper_Sprimme`` setup portion,
     ``src/eigs/primme_c.c:278``)."""
     cfg = make_config(p)
@@ -587,8 +587,24 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         Bevecs0 = (evecs0.at[:, :cfg.noc].set(
             B.matmat(evecs0[:, :cfg.noc])) if cfg.noc > 0 else evecs0)
 
+    if shard is not None:
+        # Row-shard the big arrays over the mesh (SURVEY §2.6: the
+        # reference's 1-D nLocal row partition). The small projected state
+        # stays replicated; XLA inserts psum for every Gram product — the
+        # reference's globalSum callback (src/eigs/auxiliary_eigs.c:391).
+        evecs0 = jax.lax.with_sharding_constraint(evecs0, shard)
+        Bevecs0 = (jax.lax.with_sharding_constraint(Bevecs0, shard)
+                   if B is not None else evecs0)
+
     V, W, BV, H, M, b, key, nmv0, nrand0 = init_basis(
         A, B, cfg, key, evecs0, Bevecs0, v0, dtype)
+    if shard is not None:
+        V = jax.lax.with_sharding_constraint(V, shard)
+        W = jax.lax.with_sharding_constraint(W, shard)
+        if B is not None:
+            BV = jax.lax.with_sharding_constraint(BV, shard)
+        else:
+            BV = V
 
     stats = Stats.zeros(rdt)._replace(num_matvecs=nmv0,
                                       num_random=nrand0.astype(jnp.int32))
@@ -604,7 +620,8 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
 
 
 def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
-                s: SolverState, seg_end, debug=False) -> SolverState:
+                s: SolverState, seg_end, debug=False,
+                monitor=None) -> SolverState:
     """Run the main iteration until done, limits, or
     ``num_outer_iterations >= seg_end`` (``main_iter_Sprimme``,
     ``src/eigs/main_iter.c:176``). Segmentation serves the dynamic
@@ -644,6 +661,23 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 it=s.stats.num_outer_iterations, b=s.b, lk=s.num_locked,
                 nc=win.nconv, nu=n_unconv, r0=win.cands.resnorms[0],
                 h0=win.sol.hvals[0], mc=mincn, vq=vtq)
+        if monitor is not None:
+            # Outer-iteration event stream (monitorFun,
+            # src/eigs/auxiliary_eigs_normal.c:446; events enum
+            # include/primme_eigs.h:80-89). Host callback; enabling it
+            # recompiles the loop and adds a host sync per iteration.
+            kshow = min(cfg.cwin, cfg.ne)
+            jax.debug.callback(
+                monitor,
+                event=jnp.where(done, 2, jnp.where(need_restart, 1, 0)),
+                num_outer=s.stats.num_outer_iterations,
+                num_matvecs=s.stats.num_matvecs,
+                num_locked=s.num_locked,
+                num_converged=win.nconv,
+                basis_size=s.b,
+                hvals=win.sol.hvals[:kshow],
+                resnorms=win.cands.resnorms[:kshow],
+                ordered=True)
         s = jax.lax.cond(done, lambda s: s, when_active, s)
         return s._replace(done=done)
 
@@ -692,7 +726,8 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
 
 def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                ortho_const=None, key=None, inner_solve=None,
-               dtype=None, debug=False) -> EigsResult:
+               dtype=None, debug=False, monitor=None,
+               shard=None) -> EigsResult:
     """Run the eigensolver. All operators are
     :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
     (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
@@ -702,7 +737,8 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     """
     cfg, shifts, s0 = setup_solver(A, p, B=B, v0=v0,
                                    ortho_const=ortho_const, key=key,
-                                   dtype=dtype)
+                                   dtype=dtype, shard=shard)
     s = run_segment(cfg, A, B, K, inner_solve, shifts, s0,
-                    jnp.asarray((1 << 31) - 1, jnp.int32), debug=debug)
+                    jnp.asarray((1 << 31) - 1, jnp.int32), debug=debug,
+                    monitor=monitor)
     return extract_result(cfg, s, shifts, B is not None)

@@ -220,10 +220,11 @@ class ELLOperator(LinearOperator):
         w = max(int(row_nnz.max()), 1)
         cols = np.zeros((n, w), dtype=np.int32)
         vals = np.zeros((n, w), dtype=A.dtype)
-        for i in range(n):
-            s, e = A.indptr[i], A.indptr[i + 1]
-            cols[i, : e - s] = A.indices[s:e]
-            vals[i, : e - s] = A.data[s:e]
+        # vectorized scatter: nnz j of row i lands at (i, j - indptr[i])
+        rows = np.repeat(np.arange(n), row_nnz)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], row_nnz)
+        cols[rows, offs] = A.indices
+        vals[rows, offs] = A.data
         return cols, vals
 
     @staticmethod

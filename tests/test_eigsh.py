@@ -199,3 +199,16 @@ def test_dynamic_method(tridiag):
                         return_stats=True, maxMatvecs=5000,
                         raise_for_unconverged=False)
     assert_close(vals, ref[:5])
+
+
+def test_mhd1280b_reference():
+    """mhd1280b.mtx: complex Hermitian reference matrix (tests/mhd1280b.mtx,
+    interior configs test_1??)."""
+    import scipy.io as sio
+
+    A = sp.csr_matrix(sio.mmread("/root/reference/tests/mhd1280b.mtx"))
+    ref = np.linalg.eigvalsh(A.toarray())
+    # largest pairs
+    vals, vecs = eigsh(A, k=5, which="LA", tol=1e-10,
+                       raise_for_unconverged=False)
+    assert_close(vals, ref[-5:], tol=1e-8)

@@ -1,0 +1,44 @@
+"""Multi-device (virtual 8-CPU mesh) SPMD tests.
+
+Stands in for a TPU pod slice per SURVEY §4: the same row-partitioned
+solve as the reference under mpirun -np 4 (tests/Makefile:97-99), with
+psum reductions replacing globalSum."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from jax.sharding import Mesh
+
+from primme_tpu import eigsh, svds, Stencil3DOperator, Method
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("rows",))
+
+
+def test_eigsh_sharded_matches_single(mesh8):
+    n = 400
+    d = np.linspace(1, 80, n)
+    A = sp.diags([d, 0.2 * np.ones(n - 1), 0.2 * np.ones(n - 1)],
+                 [0, 1, -1]).tocsr()
+    ref = np.linalg.eigvalsh(A.toarray())
+    with mesh8:
+        vals, vecs = eigsh(A, k=4, which="SA", tol=1e-9, mesh=mesh8,
+                           raise_for_unconverged=False)
+    assert np.abs(np.sort(vals) - ref[:4]).max() < 1e-7
+
+
+def test_stencil_sharded(mesh8):
+    A = Stencil3DOperator(16, 8, 8, dtype=np.float32)
+    with mesh8:
+        vals, vecs = eigsh(A, k=3, which="SA", tol=1e-4, mesh=mesh8,
+                           jacobi=True, raise_for_unconverged=False)
+    ax = lambda N: 2 - 2 * np.cos(np.pi * np.arange(1, N + 1) / (N + 1))
+    lam = (ax(16)[:4, None, None] + ax(8)[None, :4, None]
+           + ax(8)[None, None, :4]).ravel()
+    assert np.abs(np.sort(vals) - np.sort(lam)[:3]).max() < 1e-2
