@@ -1,14 +1,17 @@
-"""Microbenchmarks: SpMV/SpMM throughput and solver overhead on one chip."""
+"""Microbenchmarks: SpMV/SpMM throughput and solver gemm overhead on one
+chip. All operands are generated on-device (host->device transfers over
+the axon tunnel would otherwise dominate)."""
 
 import os
 import sys
 import time
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(f, *args, warmup=2, iters=10):
+def timeit(f, *args, warmup=1, iters=5):
     import jax
     for _ in range(warmup):
         jax.block_until_ready(f(*args))
@@ -22,52 +25,56 @@ def timeit(f, *args, warmup=2, iters=10):
 def main():
     import jax
     import jax.numpy as jnp
-    from primme_tpu import Stencil3DOperator, ELLOperator
+    from primme_tpu import Stencil3DOperator, ELLOperator, BandedOperator
 
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform}")
+    print(f"device: {jax.devices()[0].platform}", flush=True)
+    key = jax.random.key(0)
 
     # --- stencil SpMM ----------------------------------------------------
-    for size, blk in [(64, 1), (64, 4), (64, 8), (128, 1), (128, 4)]:
+    for size, blk in [(64, 1), (64, 8), (128, 4)]:
         n = size ** 3
         A = Stencil3DOperator(size, size, size, dtype=jnp.float32)
-        X = jnp.ones((n, blk), jnp.float32)
-        f = jax.jit(A.matmat)
-        dt = timeit(f, X)
+        X = jax.jit(lambda: jnp.ones((n, blk), jnp.float32))()
+        dt = timeit(jax.jit(A.matmat), X)
         nnz = 7 * n
-        # traffic: read X + write Y (+ streaming reuse of halo) ~ 2*n*blk*4B
         gbs = 2 * n * blk * 4 / dt / 1e9
         print(f"stencil {size}^3 blk={blk}: {dt*1e3:.3f} ms, "
-              f"{nnz*blk/dt/1e9:.2f} Gnnz/s, ~{gbs:.0f} GB/s effective")
+              f"{nnz*blk/dt/1e9:.2f} Gnnz/s, ~{gbs:.0f} GB/s eff",
+              flush=True)
 
-    # --- ELL SpMM --------------------------------------------------------
-    import scipy.sparse as sp
-    for n, row_nnz, blk in [(1 << 18, 8, 1), (1 << 18, 8, 8),
-                            (1 << 20, 8, 4)]:
-        rng = np.random.default_rng(0)
-        cols = rng.integers(0, n, size=(n, row_nnz)).astype(np.int32)
-        vals = rng.normal(size=(n, row_nnz)).astype(np.float32)
+    # --- banded (DIA) SpMM ----------------------------------------------
+    for n, nb, blk in [(1 << 20, 7, 4)]:
+        offs = (0, 1, -1, 64, -64, 4096, -4096)
+        vals = jax.jit(lambda k: jax.random.normal(
+            k, (nb, n), jnp.float32))(key)
+        A = BandedOperator(offs, vals)
+        X = jnp.ones((n, blk), jnp.float32)
+        dt = timeit(jax.jit(A.matmat), X)
+        print(f"banded n=2^20 B={nb} blk={blk}: {dt*1e3:.3f} ms, "
+              f"{n*nb*blk/dt/1e9:.2f} Gnnz/s", flush=True)
+
+    # --- ELL SpMM (gather path) -----------------------------------------
+    for n, w, blk in [(1 << 18, 8, 4)]:
+        cols = jax.jit(lambda k: jax.random.randint(
+            k, (n, w), 0, n, jnp.int32))(key)
+        vals = jax.jit(lambda k: jax.random.normal(
+            k, (n, w), jnp.float32))(key)
         A = ELLOperator(cols, vals, shape=(n, n))
         X = jnp.ones((n, blk), jnp.float32)
-        f = jax.jit(A.matmat)
-        dt = timeit(f, X)
-        nnz = n * row_nnz
-        print(f"ELL n=2^{int(np.log2(n))} w={row_nnz} blk={blk}: "
-              f"{dt*1e3:.3f} ms, {nnz*blk/dt/1e9:.2f} Gnnz/s")
+        dt = timeit(jax.jit(A.matmat), X)
+        print(f"ELL n=2^18 w={w} blk={blk}: {dt*1e3:.3f} ms, "
+              f"{n*w*blk/dt/1e9:.2f} Gnnz/s", flush=True)
 
-    # --- dense gram/bcomb (the solver's per-iteration gemms) -------------
+    # --- solver gemms ----------------------------------------------------
     n, mmax = 1 << 20, 24
     V = jnp.ones((n, mmax), jnp.float32)
     Y = jnp.ones((n, 1), jnp.float32)
-    g = jax.jit(lambda V, Y: jnp.matmul(
-        V.T, Y, precision=jax.lax.Precision.HIGHEST))
-    dt = timeit(g, V, Y)
-    print(f"gram [2^20 x {mmax}]^T [2^20 x 1] HIGHEST: {dt*1e3:.3f} ms "
-          f"({2*n*mmax*4/dt/1e9:.0f} GB/s)")
-    gb = jax.jit(lambda V, Y: jnp.matmul(
-        V.T, Y, precision=jax.lax.Precision.DEFAULT))
-    dt = timeit(gb, V, Y)
-    print(f"gram DEFAULT: {dt*1e3:.3f} ms")
+    for prec in ["HIGHEST", "DEFAULT"]:
+        g = jax.jit(lambda V, Y: jnp.matmul(
+            V.T, Y, precision=getattr(jax.lax.Precision, prec)))
+        dt = timeit(g, V, Y)
+        print(f"gram [2^20x{mmax}]' [2^20x1] {prec}: {dt*1e3:.3f} ms "
+              f"({2*n*mmax*4/dt/1e9:.0f} GB/s)", flush=True)
 
 
 if __name__ == "__main__":

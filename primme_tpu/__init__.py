@@ -13,8 +13,9 @@ from .params import (PrimmeParams, Target, Projection, InitBasisMode,
                      resolve_defaults, set_member, get_member, member_info,
                      member_names, display_params)
 from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
-                        ELLOperator, Stencil3DOperator, FunctionOperator,
-                        JacobiPrecond, aslinearoperator, apply_precond)
+                        ELLOperator, BandedOperator, Stencil3DOperator,
+                        FunctionOperator, JacobiPrecond, aslinearoperator,
+                        apply_precond)
 from .core.solver import solve_eigs, EigsResult, Stats
 from .api import eigsh, PrimmeError
 from .svds import svds
@@ -26,6 +27,7 @@ __all__ = [
     "Method", "Projectors", "set_method", "resolve_defaults", "set_member",
     "get_member", "member_info", "member_names", "display_params",
     "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
+    "BandedOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
     "aslinearoperator", "apply_precond",
     "solve_eigs", "EigsResult", "Stats", "eigsh", "svds", "PrimmeError",

@@ -72,11 +72,14 @@ class Stats(NamedTuple):
     num_locked: jax.Array
     num_random: jax.Array          # random-vector ortho recoveries
     anorm_estimate: jax.Array
+    max_conv_tol: jax.Array        # adaptive accuracy floor (stats.maxConvTol)
+    estimate_resid_error: jax.Array  # accumulated-roundoff estimate
 
     @staticmethod
     def zeros(rdt):
         z = jnp.zeros((), jnp.int32)
-        return Stats(z, z, z, z, z, z, z, jnp.zeros((), rdt))
+        zr = jnp.zeros((), rdt)
+        return Stats(z, z, z, z, z, z, z, zr, zr, zr)
 
 
 class SolverState(NamedTuple):
@@ -96,6 +99,9 @@ class SolverState(NamedTuple):
     locked_vals: jax.Array       # [lockmax - noc]
     locked_res: jax.Array
     num_locked: jax.Array
+    # stagnation / reset tracking (main_iter.c:853-896 reset machinery)
+    best_res: jax.Array          # best leading-candidate residual seen
+    stall_restarts: jax.Array    # restarts without sufficient progress
     # control
     key: jax.Array
     done: jax.Array
@@ -278,7 +284,11 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
                             jnp.max(jnp.abs(finite)))
     anorm = (jnp.asarray(cfg.a_norm, anorm_est.dtype)
              if cfg.a_norm > 0 else anorm_est)
-    tol = _tolerance(cfg, anorm)
+    # Adaptive accuracy floor: once a pair has converged at some residual
+    # level (or accumulated restart roundoff reaches it), later pairs are
+    # accepted at that level too (stats.maxConvTol semantics,
+    # src/eigs/convergence.c:105-146, restart.c:434).
+    tol = jnp.maximum(_tolerance(cfg, anorm), s.stats.max_conv_tol)
     n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32) - s.num_locked.astype(jnp.int32))
     is_target = (jnp.arange(c) < n_needed) & active
     conv = (cands.resnorms <= tol) & is_target
@@ -291,8 +301,9 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
         proj = gram(s.evecs, cands.R)                   # [lockmax, c]
         Rp = cands.R - bcomb(s.Bevecs, proj)
         projres = jnp.real(jnp.linalg.norm(Rp, axis=0))
-        attainable = jnp.sqrt(1.0 + s.num_locked.astype(tol.dtype)) * tol
-        practical = (projres <= tol) & (cands.resnorms <= 10.0 * attainable)
+        attainable = jnp.sqrt(1.0 + cfg.noc
+                              + s.num_locked.astype(tol.dtype)) * tol
+        practical = (projres <= tol) & (cands.resnorms <= attainable)
         conv = conv | (practical & is_target)
     nconv = _i32(jnp.sum(conv.astype(jnp.int32)))
     stats = s.stats._replace(anorm_estimate=anorm_est)
@@ -473,9 +484,24 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
                                    precision=jax.lax.Precision.HIGHEST))
         M = 0.5 * (M + _herm(M))
 
+    # Accumulated-roundoff accounting (restart.c:425-440): after R
+    # restarts the basis orthonormality / residual consistency has eroded
+    # by ~sqrt(R)*macheps*||A||; raise the reachable-accuracy floor and
+    # the residual-error estimate accordingly. Locking also raises the
+    # floor to the residuals actually achieved by locked pairs
+    # (restart.c:616-629).
+    meps_r = machine_eps(s.V.dtype)
+    nres = s.stats.num_restarts + 1
+    anorm_r = jnp.maximum(s.stats.anorm_estimate, 1e-30)
+    drift = jnp.sqrt(nres.astype(anorm_r.dtype)) * meps_r * anorm_r
+    mct = jnp.maximum(s.stats.max_conv_tol, drift)
+    if cfg.locking:
+        mct = jnp.maximum(mct, jnp.max(jnp.where(
+            jnp.arange(locked_res.shape[0]) < num_locked, locked_res, 0)))
     stats = s.stats._replace(
         num_restarts=_i32(s.stats.num_restarts + 1),
-        num_locked=_i32(s.stats.num_locked + nl))
+        num_locked=_i32(s.stats.num_locked + nl),
+        max_conv_tol=mct, estimate_resid_error=drift)
     return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=b_new,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
@@ -554,6 +580,60 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
                       prev_hvecs=prev, key=key, stats=stats)
 
 
+
+# ---------------------------------------------------------------------------
+# Reset (main_iter.c:853-896): rebuild W = A V and re-orthonormalize V when
+# accumulated restart roundoff poisons the residuals, or the iteration
+# stagnates. Costs one full-basis matvec + ortho — negligible next to the
+# stall it cures.
+# ---------------------------------------------------------------------------
+
+def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
+    amaskf = col_mask(cfg.mmax, s.b, s.V.dtype)[None, :]
+    V = s.V * amaskf
+    # two CGS passes against the locked vectors, then CholeskyQR
+    if cfg.locking or cfg.noc > 0:
+        for _ in range(2):
+            V = V - bcomb(s.evecs, gram(s.Bevecs, V))
+    G = gram(V, B.matmat(V) if B is not None else V)
+    d = jnp.real(jnp.diagonal(G))
+    amask = col_mask(cfg.mmax, s.b)
+    meps = machine_eps(s.V.dtype)
+    bad = ((d <= meps * 64.0) | ~jnp.isfinite(d)) & amask
+    keep = (~(bad | ~amask)).astype(V.dtype)
+    Gs = G * keep[:, None] * keep[None, :] + jnp.diag(
+        jnp.where(bad | ~amask, 1.0, 0.0)).astype(V.dtype)
+    L = jnp.linalg.cholesky(Gs)
+    V = _herm(jax.scipy.linalg.solve_triangular(L, _herm(V), lower=True))
+    V = V * keep[None, :]
+    BV = B.matmat(V) if B is not None else V
+    W = A.matmat(V)
+    H = gram(V, W)
+    H = 0.5 * (H + _herm(H))
+    if cfg.projection != Projection.RR:
+        M = gram(W, W)
+        M = 0.5 * (M + _herm(M))
+    else:
+        M = s.M
+    nkeep = _i32(jnp.sum(keep.astype(jnp.int32)))
+    # compact surviving columns left
+    order = jnp.argsort(jnp.arange(cfg.mmax, dtype=jnp.int32)
+                        + _BIG * (1 - keep.real.astype(jnp.int32)))
+    V = V[:, order]
+    W = W[:, order]
+    BV = BV[:, order] if B is not None else V
+    H = H[order][:, order]
+    M = M[order][:, order] if cfg.projection != Projection.RR else M
+    stats = s.stats._replace(
+        num_matvecs=_i32(s.stats.num_matvecs + s.b),
+        estimate_resid_error=jnp.zeros((), real_dtype(s.V.dtype)))
+    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=nkeep,
+                      prev_hvecs=jnp.zeros_like(s.prev_hvecs),
+                      best_res=jnp.asarray(jnp.finfo(
+                          real_dtype(s.V.dtype)).max, real_dtype(s.V.dtype)),
+                      stall_restarts=jnp.zeros((), jnp.int32), stats=stats)
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -614,7 +694,9 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         evecs=evecs0, Bevecs=Bevecs0,
         locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
-        num_locked=jnp.zeros((), jnp.int32), key=key,
+        num_locked=jnp.zeros((), jnp.int32),
+        best_res=jnp.asarray(jnp.finfo(rdt).max, rdt),
+        stall_restarts=jnp.zeros((), jnp.int32), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
     return cfg, shifts, s0
 
@@ -642,10 +724,31 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                                  & win.is_target).astype(jnp.int32)))
         need_restart = (s.b + cfg.blk > mmax) | (n_unconv == 0)
 
+        # Stagnation detection: leading unconverged-candidate residual must
+        # improve by 30% every few restarts, else reset the basis (the
+        # reference triggers reset from its accumulated-error estimate,
+        # main_iter.c:855-884; explicit stagnation tracking is the jit-
+        # friendly equivalent).
+        cur_res = jnp.min(jnp.where(
+            win.conv | ~win.is_target | ~win.sol.active[:cfg.cwin],
+            jnp.asarray(jnp.finfo(win.tol.dtype).max, win.tol.dtype),
+            win.cands.resnorms))
+        improved = cur_res < 0.7 * s.best_res
+        best_res = jnp.minimum(s.best_res, cur_res)
+        stall = jnp.where(improved, 0, s.stall_restarts).astype(jnp.int32)
+        need_reset = need_restart & (stall >= 12)
+
         def when_active(s):
+            def restart_or_reset(s):
+                s = do_restart(cfg, s, win, B is not None)
+                s = s._replace(stall_restarts=_i32(s.stall_restarts + 1))
+                return jax.lax.cond(need_reset,
+                                    lambda s: do_reset(cfg, A, B, s),
+                                    lambda s: s, s)
+
             return jax.lax.cond(
                 need_restart,
-                lambda s: do_restart(cfg, s, win, B is not None),
+                restart_or_reset,
                 lambda s: do_expand(cfg, A, B, K, s, win,
                                     inner_solve=inner_solve),
                 s)
@@ -655,12 +758,18 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
             amask = jnp.arange(cfg.mmax) < s.b
             mincn = jnp.min(jnp.where(amask, cn, 1e9))
             vtq = jnp.max(jnp.abs(gram(s.evecs, s.V)))
+            qn = jnp.linalg.norm(s.evecs, axis=0)
+            qmask = jnp.arange(cfg.lockmax) < (cfg.noc + s.num_locked)
+            minqn = jnp.min(jnp.where(qmask, qn, 1e9))
+            xn = jnp.linalg.norm(win.cands.X, axis=0)
+            minxn = jnp.min(jnp.where(win.conv, xn, 1e9))
             jax.debug.print(
                 "it={it} b={b} lock={lk} nconv={nc} nunc={nu} "
-                "res0={r0:.2e} hv0={h0:.3e} mincol={mc:.2e} VtQ={vq:.2e}",
+                "res0={r0:.2e} hv0={h0:.3e} mincol={mc:.2e} VtQ={vq:.2e} "
+                "minQ={mq:.2e} minconvX={mx:.2e}",
                 it=s.stats.num_outer_iterations, b=s.b, lk=s.num_locked,
                 nc=win.nconv, nu=n_unconv, r0=win.cands.resnorms[0],
-                h0=win.sol.hvals[0], mc=mincn, vq=vtq)
+                h0=win.sol.hvals[0], mc=mincn, vq=vtq, mq=minqn, mx=minxn)
         if monitor is not None:
             # Outer-iteration event stream (monitorFun,
             # src/eigs/auxiliary_eigs_normal.c:446; events enum
@@ -678,6 +787,7 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 hvals=win.sol.hvals[:kshow],
                 resnorms=win.cands.resnorms[:kshow],
                 ordered=True)
+        s = s._replace(best_res=best_res, stall_restarts=stall)
         s = jax.lax.cond(done, lambda s: s, when_active, s)
         return s._replace(done=done)
 

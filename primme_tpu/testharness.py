@@ -1,0 +1,301 @@
+"""Golden-file test harness: run the reference's config files.
+
+Re-implements the reference's config-driven test driver
+(``tests/driver.c`` + ``tests/COMMON/shared_utils.c:364`` parsing and
+``tests/COMMON/ioandtest.c:70-135`` solution checking) against this
+framework: parse a ``tests/tests/test_???`` config, build the operator
+from the named ``.mtx``, map the ``primme.*`` fields onto
+:class:`~primme_tpu.params.PrimmeParams`, solve, and verify
+
+* eigenvector orthonormality  < sqrt(macheps),
+* recomputed residual norms  <= eps * ||A|| (with slack),
+* angle to the stored golden eigenvectors (``sol_???_double``) bounded.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .params import PrimmeParams, Target, Method, Projection, set_method
+from .operators import aslinearoperator, JacobiPrecond, ELLOperator
+from .core.solver import solve_eigs
+
+_TARGET_MAP = {
+    "primme_smallest": Target.smallest,
+    "primme_largest": Target.largest,
+    "primme_closest_abs": Target.closest_abs,
+    "primme_closest_geq": Target.closest_geq,
+    "primme_closest_leq": Target.closest_leq,
+    "primme_largest_abs": Target.largest_abs,
+}
+
+_PROJ_MAP = {
+    "primme_proj_RR": Projection.RR,
+    "primme_proj_refined": Projection.refined,
+    "primme_proj_harmonic": Projection.harmonic,
+}
+
+
+@dataclass
+class TestConfig:
+    matrix_file: str = ""
+    check_x_file: str = ""
+    prec_choice: str = "noprecond"
+    shift: float = 0.0
+    method: Optional[Method] = None
+    fields: dict = field(default_factory=dict)   # primme.* -> raw string
+
+
+def parse_config(path: str) -> TestConfig:
+    """Parse a ``tests/tests/test_???`` driver config
+    (``read_driver_params``/``read_solver_params``,
+    ``tests/COMMON/shared_utils.c``)."""
+    cfg = TestConfig()
+    for line in open(path):
+        line = line.split("//")[0].strip()
+        if not line or "=" not in line:
+            continue
+        k, v = [x.strip() for x in line.split("=", 1)]
+        if k == "driver.matrixFile":
+            cfg.matrix_file = v
+        elif k == "driver.checkXFile":
+            cfg.check_x_file = v
+        elif k == "driver.PrecChoice":
+            cfg.prec_choice = v
+        elif k == "driver.shift":
+            cfg.shift = float(v)
+        elif k == "method":
+            cfg.method = Method[v.replace("PRIMME_", "")]
+        elif k.startswith("primme.") or k.startswith("primme_svds."):
+            cfg.fields[k.split(".", 1)[1]] = v
+    return cfg
+
+
+def read_sol_evecs(path: str) -> np.ndarray:
+    """Read the stored golden eigenvectors
+    (``readBinaryEvecsAndPrimmeParams``, ``tests/COMMON/ioandtest.c:159``):
+    header [signed sizeof(SCALAR), n, cols] then column-major n x cols."""
+    raw = open(path, "rb").read()
+    size_marker = np.frombuffer(raw[:8], dtype="<f8")[0]
+    if size_marker == 8.0:
+        dt, ss = np.dtype("<f8"), 8
+    elif size_marker == -16.0:
+        dt, ss = np.dtype("<c16"), 16
+    else:
+        raise ValueError(f"unknown scalar marker {size_marker} in {path}")
+    hdr = np.frombuffer(raw[: 3 * ss], dtype=dt)
+    n, cols = int(hdr[1].real), int(hdr[2].real)
+    X = np.frombuffer(raw[3 * ss: (3 + n * cols) * ss], dtype=dt)
+    return X.reshape(cols, n).T.copy()
+
+
+def build_params(cfg: TestConfig, n: int) -> PrimmeParams:
+    f = cfg.fields
+    p = PrimmeParams(n=n)
+    if "numEvals" in f:
+        p = p.with_(num_evals=int(f["numEvals"]))
+    if "eps" in f:
+        p = p.with_(eps=float(f["eps"]))
+    if "maxBasisSize" in f:
+        p = p.with_(max_basis_size=int(f["maxBasisSize"]))
+    if "minRestartSize" in f:
+        p = p.with_(min_restart_size=int(f["minRestartSize"]))
+    if "maxBlockSize" in f:
+        p = p.with_(max_block_size=int(f["maxBlockSize"]))
+    if "maxMatvecs" in f:
+        p = p.with_(max_matvecs=int(f["maxMatvecs"]))
+    if "restarting.maxPrevRetain" in f:
+        p = p.with_(max_prev_retain=int(f["restarting.maxPrevRetain"]))
+    if "target" in f:
+        p = p.with_(target=_TARGET_MAP[f["target"]])
+    if "targetShifts" in f:
+        p = p.with_(target_shifts=tuple(
+            float(x) for x in f["targetShifts"].split()))
+    if "projection.projection" in f:
+        p = p.with_(projection=_PROJ_MAP[f["projection.projection"]])
+    if "locking" in f:
+        p = p.with_(locking=int(f["locking"]))
+    if "correction.maxInnerIterations" in f:
+        p = p.with_(max_inner_iterations=int(
+            f["correction.maxInnerIterations"]))
+    return p
+
+
+class CheckResult:
+    def __init__(self):
+        self.ok = True
+        self.messages = []
+
+    def check(self, cond, msg):
+        if not cond:
+            self.ok = False
+            self.messages.append(msg)
+
+    def __repr__(self):
+        return "OK" if self.ok else "; ".join(self.messages)
+
+
+def run_config(path: str, base_dir: str = None, mv_slack: float = 4.0,
+               eps_slack: float = 20.0) -> CheckResult:
+    """Run one golden-file config and check the solution
+    (``check_solution``, ``tests/COMMON/ioandtest.c:70-135``)."""
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    base_dir = base_dir or os.path.join(os.path.dirname(path), "..")
+    cfg = parse_config(path)
+    A = sp.csr_matrix(sio.mmread(os.path.join(base_dir, cfg.matrix_file)))
+    n = A.shape[0]
+    p = build_params(cfg, n)
+    # budget slack: counts differ from the reference's by implementation
+    if p.max_matvecs < (1 << 60):
+        p = p.with_(max_matvecs=int(p.max_matvecs * mv_slack))
+
+    K = None
+    has_prec = cfg.prec_choice not in ("noprecond", "")
+    if has_prec:
+        d = A.diagonal() - cfg.shift
+        K = JacobiPrecond(np.where(np.abs(d) < 1e-10, 1.0, d))
+
+    meth = cfg.method or Method.DEFAULT_METHOD
+    p = set_method(meth, p, has_precond=has_prec)
+
+    inner = None
+    if p.max_inner_iterations != 0 and not p.dynamic_method_switch:
+        from .core.inner import jdqmr_inner_solve as inner
+
+    Aop = aslinearoperator(A)
+    if p.dynamic_method_switch:
+        from .core.dynamic import solve_eigs_dynamic
+        res = solve_eigs_dynamic(Aop, p, K=K, has_precond=has_prec)
+    else:
+        res = solve_eigs(Aop, p, K=K, inner_solve=inner)
+
+    evals = np.asarray(res.evals)
+    evecs = np.asarray(res.evecs)
+    k = p.num_evals
+
+    out = CheckResult()
+    meps = np.finfo(np.float64).eps
+    anorm = max(float(np.abs(evals).max()),
+                float(res.stats.anorm_estimate), 1e-300)
+    eps = p.eps if p.eps > 0 else 1e4 * meps
+
+    # 1. orthonormality < sqrt(macheps) (ioandtest.c:101)
+    G = evecs.conj().T @ evecs
+    out.check(np.abs(G - np.eye(k)).max() < np.sqrt(meps),
+              f"orthonormality {np.abs(G - np.eye(k)).max():.2e}")
+
+    # 2. residual norms <= eps * |A| (with slack; ioandtest.c:108)
+    R = A @ evecs - evecs * evals[None, :]
+    rn = np.linalg.norm(R, axis=0)
+    out.check(rn.max() <= eps_slack * eps * anorm * np.sqrt(k),
+              f"residuals {rn.max():.2e} > {eps_slack * eps * anorm:.2e}")
+
+    # 3. angle vs stored golden eigenvectors (ioandtest.c:125-135)
+    solfile = os.path.join(base_dir, cfg.check_x_file + "_double")
+    if os.path.exists(solfile):
+        Xs = read_sol_evecs(solfile)
+        # projection of each computed vector onto the golden span
+        C = Xs.conj().T @ evecs                       # [cols, k]
+        proj = np.linalg.norm(C, axis=0)
+        sin_angle = np.sqrt(np.maximum(0.0, 1.0 - proj ** 2))
+        out.check(sin_angle.max() < 1e-4,
+                  f"angle to golden evecs {sin_angle.max():.2e}")
+    return out
+
+
+def run_all(tests_dir: str, pattern: str = r"test_0\d\d$"):
+    """Run every matching config; returns {name: CheckResult}."""
+    out = {}
+    for name in sorted(os.listdir(tests_dir)):
+        if re.match(pattern, name):
+            out[name] = run_config(os.path.join(tests_dir, name))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SVDS golden configs (test_2??, driversvds.c)
+# ---------------------------------------------------------------------------
+
+def read_sol_svecs(path: str):
+    """Read stored golden singular vectors
+    (``readBinaryEvecsAndPrimmeSvdsParams``,
+    ``tests/COMMON/ioandtest.c:349``): header [sizeof, m, n, cols], then
+    U (m x cols) and V (n x cols), column-major."""
+    raw = open(path, "rb").read()
+    marker = np.frombuffer(raw[:8], dtype="<f8")[0]
+    if marker == 8.0:
+        dt, ss = np.dtype("<f8"), 8
+    elif marker == -16.0:
+        dt, ss = np.dtype("<c16"), 16
+    else:
+        raise ValueError(f"unknown scalar marker {marker} in {path}")
+    hdr = np.frombuffer(raw[: 4 * ss], dtype=dt)
+    m, n, cols = int(hdr[1].real), int(hdr[2].real), int(hdr[3].real)
+    off = 4 * ss
+    U = np.frombuffer(raw[off: off + m * cols * ss], dtype=dt)
+    U = U.reshape(cols, m).T.copy()
+    off += m * cols * ss
+    V = np.frombuffer(raw[off: off + n * cols * ss], dtype=dt)
+    V = V.reshape(cols, n).T.copy()
+    return U, V
+
+
+def run_svds_config(path: str, base_dir: str = None,
+                    eps_slack: float = 50.0) -> CheckResult:
+    """Run one SVD golden-file config (test_2??; driver
+    ``tests/driversvds.c``)."""
+    import scipy.io as sio
+    import scipy.sparse as sp
+    from .svds import svds as svds_fn
+
+    base_dir = base_dir or os.path.join(os.path.dirname(path), "..")
+    cfg = parse_config(path)
+    A = sp.csr_matrix(sio.mmread(os.path.join(base_dir, cfg.matrix_file)))
+    f = cfg.fields
+    k = int(f.get("numSvals", 6))
+    eps = float(f.get("eps", 1e-6))
+    which = {"primme_svds_largest": "LM",
+             "primme_svds_smallest": "SM"}.get(
+                 f.get("target", "primme_svds_largest"), "LM")
+    method = "hybrid"
+    for line in open(path):
+        ln = line.split("//")[0].strip()
+        if ln.startswith("method") and "svds" in ln:
+            method = ln.split("=", 1)[1].strip().replace("primme_svds_", "")
+
+    U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method)
+    out = CheckResult()
+    sref = np.linalg.svd(A.toarray(), compute_uv=False)
+    anorm = sref[0]
+
+    # residuals (the library's own criterion)
+    R1 = A @ Vt.conj().T - U * svals[None, :]
+    R2 = A.conj().T @ U - Vt.conj().T * svals[None, :]
+    rn = np.sqrt(np.linalg.norm(R1, axis=0) ** 2
+                 + np.linalg.norm(R2, axis=0) ** 2)
+    out.check(rn.max() <= eps_slack * eps * anorm * np.sqrt(k),
+              f"residuals {rn.max():.2e}")
+
+    # singular values vs dense SVD
+    expect = np.sort(sref)[-k:] if which == "LM" else np.sort(sref)[:k]
+    err = np.abs(np.sort(svals) - np.sort(expect)).max()
+    out.check(err < max(100 * eps * anorm, 1e-8 * anorm),
+              f"svals err {err:.2e}")
+
+    # angles vs stored golden vectors
+    solfile = os.path.join(base_dir, cfg.check_x_file + "svds_double")
+    if os.path.exists(solfile):
+        Us, Vs = read_sol_svecs(solfile)
+        pu = np.linalg.norm(Us.conj().T @ U, axis=0)
+        pv = np.linalg.norm(Vs.conj().T @ Vt.conj().T, axis=0)
+        sa = np.sqrt(np.maximum(0, 1 - np.minimum(pu, pv) ** 2)).max()
+        # golden vectors are themselves only eps-accurate; scale the bound
+        out.check(sa < max(1e-3, 1e4 * eps), f"angle to golden svecs {sa:.2e}")
+    return out
