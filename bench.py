@@ -35,12 +35,16 @@ def main():
     A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
     p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
-                     max_matvecs=4000)
-    p = set_method(Method.GD_Olsen_plusK, p, has_precond=True)
+                     max_matvecs=6000)
+    # JDQMR_ETol: the QMR inner loop costs ~1 matvec + 2 dots per step —
+    # 3x faster wall-clock than GD+k on this config (see benches/).
+    p = set_method(Method.JDQMR_ETol, p, has_precond=True)
+    from primme_tpu.core.inner import jdqmr_inner_solve
 
     v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 1)), jnp.float32)
 
-    run = jax.jit(lambda v0: solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32))
+    run = jax.jit(lambda v0: solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32,
+                                        inner_solve=jdqmr_inner_solve))
     # compile
     res = run(v0)
     res.evals.block_until_ready()
@@ -61,7 +65,7 @@ def main():
     err = float(np.abs(np.sort(evals) - lam).max())
 
     print(json.dumps({
-        "metric": "laplacian64_k10_jacobi_wall",
+        "metric": "laplacian64_k10_jacobi_jdqmr_wall",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_WALL_S / wall, 3),

@@ -17,7 +17,7 @@ from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
                         FunctionOperator, JacobiPrecond, aslinearoperator,
                         apply_precond)
 from .core.solver import solve_eigs, EigsResult, Stats
-from .api import eigsh, PrimmeError
+from .api import eigsh, eigs, PrimmeError
 from .svds import svds
 
 __version__ = "0.1.0"
@@ -30,6 +30,7 @@ __all__ = [
     "BandedOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
     "aslinearoperator", "apply_precond",
-    "solve_eigs", "EigsResult", "Stats", "eigsh", "svds", "PrimmeError",
+    "solve_eigs", "EigsResult", "Stats", "eigsh", "eigs", "svds",
+    "PrimmeError",
     "__version__",
 ]

@@ -47,7 +47,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           jacobi: Optional[bool] = None, raise_for_unconverged: bool = True,
           dtype: Any = None, seed: int = 0, projection: Any = None,
           return_history: bool = False, monitor: Any = None,
-          mesh: Any = None):
+          mesh: Any = None, convtest: Any = None, printLevel: int = 0):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -128,6 +128,17 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
                      "hvals": [], "resnorms": []}
 
     mon = monitor
+    if mon is None and printLevel >= 2:
+        def mon(event, num_outer, num_matvecs, num_locked, num_converged,
+                basis_size, hvals, resnorms):
+            # default_monitor-style text reporting (primme_c.c:602)
+            ev = {0: "OUT", 1: "RST", 2: "CNV"}.get(int(event), "?")
+            print(f"{ev} it={int(num_outer):5d} mv={int(num_matvecs):6d} "
+                  f"lock={int(num_locked):3d} conv={int(num_converged):3d} "
+                  f"b={int(basis_size):3d} "
+                  f"val[0]={float(np.asarray(hvals)[0]):+.10e} "
+                  f"res[0]={float(np.asarray(resnorms)[0]):.3e}")
+
     if return_history and mon is None:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
                 basis_size, hvals, resnorms):
@@ -174,7 +185,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             inner = jdqmr_inner_solve
         res = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
                          ortho_const=oc, inner_solve=inner, dtype=dtype,
-                         monitor=mon, shard=shard)
+                         monitor=mon, shard=shard, convtest=convtest)
 
     resnorms = np.asarray(res.resnorms)
     anorm = float(res.stats.anorm_estimate)
@@ -191,6 +202,77 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}
+    out = [np.asarray(res.evals)]
+    if return_eigenvectors:
+        out.append(np.asarray(res.evecs))
+    if return_stats:
+        out.append(stats)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
+         tol: float = 0.0, ncv: Optional[int] = None,
+         maxiter: Optional[int] = None, v0: Any = None,
+         return_eigenvectors: bool = True, return_stats: bool = False,
+         method: Optional[Any] = None, maxMatvecs: Optional[int] = None,
+         OPinv: Any = None, raise_for_unconverged: bool = False,
+         seed: int = 0):
+    """Eigenpairs of a *normal* (non-Hermitian, A A^H = A^H A) operator —
+    complex Ritz values. The analogue of the reference's
+    ``dprimme_normal``/``zprimme_normal`` entry points
+    (``include/primme_eigs.h:390``, KIND(N) axis of
+    ``src/eigs/template_normal.h``). ``which`` in {'LM','SM','LR','SR'}
+    ('SM' is closest to ``sigma`` in modulus).
+
+    GD-type corrections only (the JDQMR inner solver is Hermitian-only
+    for now)."""
+    Aop = aslinearoperator(A)
+    n = Aop.shape[0]
+    wmap = {"LM": Target.largest_abs, "SM": Target.closest_abs,
+            "LR": Target.largest, "SR": Target.smallest}
+    which = which.upper()
+    if which not in wmap:
+        raise ValueError(f"which must be one of {sorted(wmap)}")
+    target = wmap[which]
+    shifts = ()
+    if target in (Target.closest_abs, Target.largest_abs):
+        shifts = (float(sigma) if sigma is not None else 0.0,)
+
+    cdt = jnp.promote_types(Aop.dtype, jnp.complex64)
+
+    p = PrimmeParams(n=n, num_evals=k, target=target, target_shifts=shifts,
+                     eps=float(tol), max_basis_size=(ncv or 0),
+                     hermitian=False, rng_seed=seed)
+    if maxiter is not None:
+        p = p.with_(max_outer_iterations=int(maxiter))
+    if maxMatvecs is not None:
+        p = p.with_(max_matvecs=int(maxMatvecs))
+    K = aslinearoperator(OPinv) if OPinv is not None else None
+    meth = method or Method.GD_plusK
+    if isinstance(meth, str):
+        meth = Method[meth.replace("PRIMME_", "")]
+    p = set_method(meth, p, has_precond=K is not None)
+    if p.max_inner_iterations != 0:
+        p = p.with_(max_inner_iterations=0)   # GD path only for normal ops
+
+    v0j = None
+    if v0 is not None:
+        v0j = jnp.asarray(np.asarray(v0), cdt)
+        if v0j.ndim == 1:
+            v0j = v0j[:, None]
+
+    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt)
+
+    resnorms = np.asarray(res.resnorms)
+    if raise_for_unconverged:
+        anorm = float(res.stats.anorm_estimate)
+        eps_eff = p.eps if p.eps > 0 else 1e4 * float(
+            jnp.finfo(jnp.zeros((), cdt).real.dtype).eps)
+        bad = int(np.sum(resnorms > 10 * eps_eff * max(anorm, 1e-300)))
+        if bad:
+            raise PrimmeError(f"{bad}/{k} pairs unconverged")
+    stats = {k_: np.asarray(v).item()
+             for k_, v in res.stats._asdict().items()}
     out = [np.asarray(res.evals)]
     if return_eigenvectors:
         out.append(np.asarray(res.evecs))

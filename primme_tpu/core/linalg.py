@@ -196,6 +196,22 @@ def target_sort_keys(w: jax.Array, target: Target, shifts: jax.Array,
     selects the shift for the pair currently sought (PRIMME uses
     ``targetShifts[min(i, numShifts-1)]`` while seeking the i-th value,
     cf. ``src/eigs/auxiliary_eigs.c`` sort routines)."""
+    if jnp.issubdtype(w.dtype, jnp.complexfloating):
+        # normal (non-Hermitian) operators: complex Ritz values
+        # (template_normal.h KIND(N); sorts fall back to real part for
+        # extreme targets, modulus for the interior ones)
+        if target == Target.smallest:
+            return jnp.real(w)
+        if target == Target.largest:
+            return -jnp.real(w)
+        s = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
+        d = jnp.abs(w - s.astype(w.dtype))
+        big = jnp.asarray(jnp.finfo(jnp.real(w).dtype).max / 8, d.dtype)
+        if target == Target.closest_abs:
+            return d
+        if target == Target.largest_abs:
+            return -d
+        raise ValueError(f"{target} unsupported for normal operators")
     if target == Target.smallest:
         return w
     if target == Target.largest:
@@ -430,3 +446,60 @@ def orthonormalize_coeffs(C, valid, dtype_eps):
     inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, w, 1.0)), 0.0)
     Q = bcomb(C, U * inv[None, :].astype(C.dtype))
     return Q, ok
+
+
+# ---------------------------------------------------------------------------
+# Normal (non-Hermitian) projected solve — the KIND(N) axis of the template
+# system (src/eigs/template_normal.h:40-80; solve_H uses Schur, Num_gees,
+# src/eigs/solve_projection.c:358)
+# ---------------------------------------------------------------------------
+
+def solve_H_normal(H, b, target: Target, shifts, shift_idx
+                   ) -> ProjectedSolution:
+    """Projected solve for a *normal* operator: H = V^H A V is not
+    Hermitian and the Ritz values are complex. The reference runs a Schur
+    decomposition on the host (``Num_gees``); small replicated H makes a
+    host callback the natural TPU analogue. The eigenvector matrix of a
+    normal operator restricted to a subspace is re-orthonormalized by QR
+    in sorted order (Schur-vector equivalent)."""
+    mmax = H.shape[0]
+    rdt = real_dtype(H.dtype)
+    cdt = jnp.dtype(jnp.complex64 if rdt == jnp.float32 else jnp.complex128)
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    Hm = jnp.where(am2, H, 0).astype(cdt)
+    scale = 2.0 * jnp.max(jnp.abs(Hm)) + 1.0
+    ramp = ((1.0 + jnp.arange(mmax, dtype=rdt)) * scale).astype(cdt)
+    Hm = Hm + jnp.diag(jnp.where(amask, jnp.zeros((), cdt), ramp))
+
+    def _eig(Hh):
+        import numpy as np
+
+        w, Z = np.linalg.eig(np.asarray(Hh))
+        return w.astype(Hh.dtype), Z.astype(Hh.dtype)
+
+    w, Z = jax.pure_callback(
+        _eig,
+        (jax.ShapeDtypeStruct((mmax,), cdt),
+         jax.ShapeDtypeStruct((mmax, mmax), cdt)), Hm, vmap_method="sequential")
+
+    support_inactive = jnp.sum(
+        jnp.abs(Z) ** 2 * (~amask).astype(rdt)[:, None], axis=0)
+    nrm2 = jnp.maximum(jnp.sum(jnp.abs(Z) ** 2, axis=0),
+                       jnp.finfo(rdt).tiny)
+    is_pad = (support_inactive / nrm2) > 0.5
+    keys = target_sort_keys(w, target, shifts.astype(rdt), shift_idx)
+    inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    keys = jnp.where(is_pad, inf, keys)
+    order = jnp.argsort(keys)
+    w = w[order]
+    Z = Z[:, order]
+    is_pad = is_pad[order]
+    Z = Z * (~is_pad).astype(cdt)[None, :]
+    # eigenvectors of a normal matrix are orthogonal in exact arithmetic;
+    # QR enforces it numerically (and resolves defective near-degeneracies)
+    Z = jnp.linalg.qr(Z)[0]
+    Z = Z * (~is_pad).astype(cdt)[None, :]
+    winf = jnp.asarray(jnp.finfo(rdt).max, cdt)
+    w = jnp.where(is_pad, winf, w)
+    return ProjectedSolution(hvals=w, hvecs=Z, active=~is_pad)

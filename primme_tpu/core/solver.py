@@ -40,8 +40,8 @@ from ..params import PrimmeParams, Target, ConvTest, Projection
 from . import linalg as la
 from .linalg import (Candidates, bcomb, col_mask, gram, mask_cols,
                      real_dtype, machine_eps, solve_H_rr, solve_H_refined,
-                     solve_H_harmonic, orthonormalize_coeffs, block_ortho,
-                     compute_residuals, target_sort_keys, _herm)
+                     solve_H_harmonic, solve_H_normal, orthonormalize_coeffs,
+                     block_ortho, compute_residuals, target_sort_keys, _herm)
 
 
 
@@ -157,6 +157,7 @@ class SolveConfig(NamedTuple):
     skewQ: bool
     rightQ: bool
     projection: Projection
+    hermitian: bool
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
@@ -176,7 +177,7 @@ def make_config(p: PrimmeParams) -> SolveConfig:
         rel_tol_base=p.rel_tol_base, skewX=p.projectors.SkewX,
         leftQ=p.projectors.LeftQ, leftX=p.projectors.LeftX,
         skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ,
-        projection=p.projection)
+        projection=p.projection, hermitian=p.hermitian)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +235,8 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
         0, nb, body, (V, W, BV, X, key, jnp.zeros((), jnp.int32)))
     b = jnp.asarray(b0, jnp.int32)
     H = gram(V, W)  # inactive rows/cols exactly zero already
-    H = 0.5 * (H + _herm(H))
+    if cfg.hermitian:
+        H = 0.5 * (H + _herm(H))
     if cfg.projection == Projection.RR:
         M = jnp.zeros((mmax, mmax), dtype)
     else:
@@ -265,10 +267,13 @@ def _tolerance(cfg: SolveConfig, anorm):
     return jnp.maximum(eps, 2 * meps) * anorm
 
 
-def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
+def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
+                   convtest=None):
     c = cfg.cwin
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
-    if cfg.projection == Projection.refined:
+    if not cfg.hermitian:
+        sol = solve_H_normal(s.H, s.b, cfg.target, shifts, sidx)
+    elif cfg.projection == Projection.refined:
         sol = solve_H_refined(s.H, s.M, s.b, cfg.target, shifts, sidx)
     elif cfg.projection == Projection.harmonic:
         sol = solve_H_harmonic(s.H, s.M, s.b, cfg.target, shifts, sidx)
@@ -291,7 +296,13 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool):
     tol = jnp.maximum(_tolerance(cfg, anorm), s.stats.max_conv_tol)
     n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32) - s.num_locked.astype(jnp.int32))
     is_target = (jnp.arange(c) < n_needed) & active
-    conv = (cands.resnorms <= tol) & is_target
+    if convtest is not None:
+        # User convergence test (convTestFun, include/primme_eigs.h:245):
+        # fn(evals [c], resnorms [c], tol, anorm_estimate) -> bool [c].
+        conv = convtest(jnp.where(active, hl_c, 0), cands.resnorms, tol,
+                        anorm_est) & is_target
+    else:
+        conv = (cands.resnorms <= tol) & is_target
     if cfg.locking or cfg.noc > 0:
         # "Practically converged" (check_practical_convergence,
         # src/eigs/convergence.c:238): locked pairs are only accurate to
@@ -351,7 +362,7 @@ def _robust_shifts(cfg: SolveConfig, lam, res, valid):
     does not lock onto an unconverged Ritz value (``computeRobustShift``,
     ``src/eigs/correction.c:481``)."""
     lam = jnp.where(valid, jnp.where(jnp.isfinite(lam), lam, 0), 0)
-    if not cfg.robust_shifts:
+    if not cfg.robust_shifts or not cfg.hermitian:
         return lam
     sgn = -1.0 if cfg.target == Target.smallest else 1.0
     if cfg.target in (Target.smallest, Target.largest):
@@ -400,6 +411,7 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
         BXl = (win.cands.BX[:, lockorder] * lv if has_B else Xl)
         laml = jnp.where(lvalid, win.sol.hvals[:c][lockorder], 0)
         resl = jnp.where(lvalid, win.cands.resnorms[lockorder], 0)
+        laml = laml.astype(s.locked_vals.dtype)
         off = cfg.noc + s.num_locked
         evecs = _dus(s.evecs,
                      jnp.where(lvalid[None, :], Xl,
@@ -410,7 +422,7 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
                   if has_B else evecs)
         locked_vals = jax.lax.dynamic_update_slice(
             s.locked_vals, jnp.where(
-                lvalid, laml.astype(rdt),
+                lvalid, laml,
                 jax.lax.dynamic_slice(s.locked_vals, (_i32(s.num_locked),),
                                       (c,))), (_i32(s.num_locked),))
         locked_res = jax.lax.dynamic_update_slice(
@@ -476,7 +488,8 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
     W = bcomb(s.W, Cfull)
     BV = bcomb(s.BV, Cfull) if has_B else V
     H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
-    H = 0.5 * (H + _herm(H))
+    if cfg.hermitian:
+        H = 0.5 * (H + _herm(H))
     if cfg.projection == Projection.RR:
         M = s.M
     else:
@@ -562,7 +575,13 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     W = _dus(s.W, Y, 0, s.b)
     hc = gram(V, Y)                      # [mmax, blk] new columns of H
     H = _dus(s.H, hc, 0, s.b)
-    H = _dus(H, _herm(hc), s.b, 0)
+    if cfg.hermitian:
+        H = _dus(H, _herm(hc), s.b, 0)
+    else:
+        # non-Hermitian H: the new ROW panel is (new basis block)^H W,
+        # not the conjugate of the column panel
+        hr = gram(ores.X, W)             # [blk, mmax]
+        H = _dus(H, hr, s.b, 0)
     if cfg.projection == Projection.RR:
         M = s.M
     else:
@@ -609,7 +628,8 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     BV = B.matmat(V) if B is not None else V
     W = A.matmat(V)
     H = gram(V, W)
-    H = 0.5 * (H + _herm(H))
+    if cfg.hermitian:
+        H = 0.5 * (H + _herm(H))
     if cfg.projection != Projection.RR:
         M = gram(W, W)
         M = 0.5 * (M + _herm(M))
@@ -692,7 +712,8 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         V=V, W=W, BV=BV, H=H, M=M, b=b,
         prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), dtype),
         evecs=evecs0, Bevecs=Bevecs0,
-        locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
+        locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,),
+                              rdt if cfg.hermitian else dtype),
         locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         num_locked=jnp.zeros((), jnp.int32),
         best_res=jnp.asarray(jnp.finfo(rdt).max, rdt),
@@ -703,7 +724,7 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
 
 def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 s: SolverState, seg_end, debug=False,
-                monitor=None) -> SolverState:
+                monitor=None, convtest=None) -> SolverState:
     """Run the main iteration until done, limits, or
     ``num_outer_iterations >= seg_end`` (``main_iter_Sprimme``,
     ``src/eigs/main_iter.c:176``). Segmentation serves the dynamic
@@ -717,7 +738,8 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 & (s.stats.num_matvecs < cfg.max_matvecs))
 
     def body(s: SolverState):
-        win, stats = prepare_window(cfg, s, shifts, B is not None)
+        win, stats = prepare_window(cfg, s, shifts, B is not None,
+                                    convtest=convtest)
         s = s._replace(stats=stats)
         done = (s.num_locked.astype(jnp.int32) + win.nconv) >= cfg.ne
         n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:cfg.cwin]
@@ -805,10 +827,11 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
     rdt = real_dtype(s.V.dtype)
     big = jnp.asarray(jnp.finfo(rdt).max / 16, rdt)
 
+    vdt = rdt if cfg.hermitian else s.V.dtype
     bactive = win.sol.active[:cfg.cwin]
     basis_vals = jnp.where(bactive, jnp.where(
         jnp.abs(win.sol.hvals[:cfg.cwin]) < big,
-        win.sol.hvals[:cfg.cwin], 0), 0).astype(rdt)
+        win.sol.hvals[:cfg.cwin], 0), 0).astype(vdt)
     basis_res = jnp.where(bactive, win.cands.resnorms, big)
 
     out_cols = jnp.arange(ne)
@@ -822,7 +845,8 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
     out_vals = jnp.where(from_locked, s.locked_vals[lidx], basis_vals[bidx])
     out_res = jnp.where(from_locked, s.locked_res[lidx], basis_res[bidx])
 
-    keys = target_sort_keys(out_vals, cfg.target, shifts.astype(rdt),
+    keys = target_sort_keys(out_vals, cfg.target,
+                            shifts.astype(rdt),
                             jnp.zeros((), jnp.int32))
     keys = jnp.where(out_res >= big, jnp.asarray(jnp.finfo(rdt).max, rdt),
                      keys)
@@ -837,7 +861,7 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
 def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                ortho_const=None, key=None, inner_solve=None,
                dtype=None, debug=False, monitor=None,
-               shard=None) -> EigsResult:
+               shard=None, convtest=None) -> EigsResult:
     """Run the eigensolver. All operators are
     :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
     (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
@@ -850,5 +874,5 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                                    dtype=dtype, shard=shard)
     s = run_segment(cfg, A, B, K, inner_solve, shifts, s0,
                     jnp.asarray((1 << 31) - 1, jnp.int32), debug=debug,
-                    monitor=monitor)
+                    monitor=monitor, convtest=convtest)
     return extract_result(cfg, s, shifts, B is not None)

@@ -156,6 +156,11 @@ class PrimmeParams:
     # Reporting
     print_level: int = 1
 
+    # Operator kind: True = Hermitian (KIND(H)); False = normal
+    # non-Hermitian operator with complex Ritz values (KIND(N),
+    # src/eigs/template_normal.h, the dprimme_normal/zprimme_normal axis).
+    hermitian: bool = True
+
     # TPU-specific knobs (no reference analogue)
     internal_dtype: Optional[Any] = None  # working precision override
     rng_seed: int = 0

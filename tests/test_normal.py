@@ -1,0 +1,63 @@
+"""Normal (non-Hermitian) operator tests — the KIND(N) axis
+(dprimme_normal/zprimme_normal, src/eigs/template_normal.h)."""
+
+import numpy as np
+import pytest
+
+from primme_tpu import eigs
+
+
+def _match(vals, exp):
+    """Set-wise complex match: greedy nearest-neighbour pairing."""
+    vals = list(np.asarray(vals))
+    err = 0.0
+    for e in np.asarray(exp):
+        i = int(np.argmin([abs(v - e) for v in vals]))
+        err = max(err, abs(vals[i] - e))
+        vals.pop(i)
+    return err
+
+
+@pytest.fixture(scope="module")
+def normal_matrix():
+    rng = np.random.default_rng(0)
+    n = 120
+    Q = np.linalg.qr(rng.normal(size=(n, n))
+                     + 1j * rng.normal(size=(n, n)))[0]
+    d = rng.normal(size=n) + 1j * rng.normal(size=n)
+    return (Q * d[None, :]) @ Q.conj().T, d
+
+
+@pytest.mark.parametrize("which", ["LM", "SR", "LR"])
+def test_normal_targets(normal_matrix, which):
+    A, d = normal_matrix
+    vals, vecs = eigs(A, k=5, which=which, tol=1e-10, maxMatvecs=8000)
+    if which == "LM":
+        exp = d[np.argsort(-np.abs(d))][:5]
+    elif which == "SR":
+        exp = d[np.argsort(d.real)][:5]
+    else:
+        exp = d[np.argsort(-d.real)][:5]
+    assert _match(vals, exp) < 1e-8 * np.abs(d).max()
+    R = A @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-7 * np.abs(d).max()
+
+
+def test_skew_symmetric_real():
+    rng = np.random.default_rng(1)
+    S = rng.normal(size=(80, 80))
+    S = S - S.T
+    sd = np.linalg.eigvals(S)
+    vals, vecs = eigs(S, k=4, which="LM", tol=1e-9, maxMatvecs=8000)
+    exp = sd[np.argsort(-np.abs(sd))][:4]
+    assert _match(vals, exp) < 1e-6 * np.abs(sd).max()
+
+
+def test_normal_interior(normal_matrix):
+    A, d = normal_matrix
+    target = d[np.argsort(np.abs(d))][len(d) // 2]
+    # closest in modulus to a point in the spectrum's interior
+    vals, _ = eigs(A, k=3, which="SM", sigma=0.5, tol=1e-9,
+                   maxMatvecs=10000)
+    exp = d[np.argsort(np.abs(d - 0.5))][:3]
+    assert _match(vals, exp) < 1e-6 * np.abs(d).max()

@@ -72,3 +72,21 @@ def test_rect_mtx_reference():
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     U, s, Vt = svds(A, k=5, which="LM", tol=1e-9)
     assert np.abs(np.sort(s) - np.sort(sref)[-5:]).max() < 1e-7 * sref[0]
+
+
+def test_svds_precond_aha(rect):
+    """precAHA: preconditioner for A^H A - sigma (primme.pyx:1074)."""
+    A, sv = rect
+    d = np.asarray((A * A).sum(axis=0)).ravel()  # diag(A^T A)
+    from primme_tpu import JacobiPrecond
+    U, s, Vt, st = svds(A, k=5, which="LM", tol=1e-9,
+                        precAHA=JacobiPrecond(d), return_stats=True)
+    assert np.abs(np.sort(s) - sv[-5:]).max() < 1e-7 * sv[-1]
+
+
+def test_svds_sigma_closest(rect):
+    A, sv = rect
+    target = float(sv[len(sv) // 2])
+    U, s, Vt = svds(A, k=3, which=target, tol=1e-9)
+    expect = sv[np.argsort(np.abs(sv - target))][:3]
+    assert np.abs(np.sort(s) - np.sort(expect)).max() < 1e-6 * sv[-1]
