@@ -1,0 +1,92 @@
+"""Parity benchmark vs the upstream PRIMME C library.
+
+Runs identical problems through this framework and (if available) the
+reference's Python binding, comparing matvec counts — the hardware-neutral
+algorithmic metric (wall-clock comparisons belong on TPU via bench.py,
+where the reference cannot run).
+
+Build the reference binding once (out of tree):
+    cp -r /root/reference /tmp/primme_ref && cd /tmp/primme_ref && make lib
+    cd Python && mkdir -p src/primme && ln -s ../../include src/primme/include
+    gcc -O2 -shared -fPIC primme.c -I. -I../include \
+        -I$(python -c "import sysconfig;print(sysconfig.get_paths()['include'])") \
+        -I$(python -c "import numpy;print(numpy.get_include())") \
+        ../lib/libprimme.a /lib/x86_64-linux-gnu/liblapack.so.3 \
+        /lib/x86_64-linux-gnu/libblas.so.3 -lm \
+        -o primme$(python -c "import sysconfig;print(sysconfig.get_config_var('EXT_SUFFIX'))")
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/tmp/primme_ref/Python")
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.io as sio
+
+    import primme_tpu as pt
+
+    try:
+        import primme as ref
+    except ImportError:
+        ref = None
+        print("reference binding not built; reporting ours only")
+
+    L = sp.csr_matrix(sio.mmread("/root/reference/tests/LUNDA.mtx"))
+    M = sp.csr_matrix(sio.mmread("/root/reference/tests/mhd1280b.mtx"))
+    R = sp.csr_matrix(sio.mmread("/root/reference/tests/rect.mtx"))
+    n = 2000
+    d = np.linspace(1, 100, n)
+    T = sp.diags([d, 0.3 * np.ones(n - 1), 0.3 * np.ones(n - 1)],
+                 [0, 1, -1]).tocsr()
+
+    eig_cases = [
+        ("LUNDA LA k5 1e-12", L, dict(k=5, which="LA", tol=1e-12)),
+        ("LUNDA SA k5 1e-10", L, dict(k=5, which="SA", tol=1e-10)),
+        ("mhd1280b LA k5 1e-10", M, dict(k=5, which="LA", tol=1e-10)),
+        ("tridiag2k SA k10 1e-9", T, dict(k=10, which="SA", tol=1e-9)),
+        ("tridiag2k SA k10 jacobi", T, dict(k=10, which="SA", tol=1e-9,
+                                            jacobi=True)),
+    ]
+    print(f"{'case':26s} {'ref mv':>8s} {'ours mv':>8s} {'dEval':>9s}")
+    for name, A, kw in eig_cases:
+        vt, _, stt = pt.eigsh(A, return_stats=True,
+                              raise_for_unconverged=False, **kw)
+        mt = stt["num_matvecs"]
+        if ref is not None and "jacobi" not in kw:
+            vr, _, str_ = ref.eigsh(A, return_stats=True, **kw)
+            mr = str_["numMatvecs"]
+            err = float(np.abs(np.sort(vr) - np.sort(vt)).max())
+        else:
+            mr, err = -1, float("nan")
+        print(f"{name:26s} {mr:8d} {mt:8d} {err:9.1e}")
+
+    svd_cases = [
+        ("rect LM k5 1e-9", R, dict(k=5, which="LM", tol=1e-9)),
+    ]
+    for name, A, kw in svd_cases:
+        _, st_, _, stats = pt.svds(A, return_stats=True, **kw)
+        mt = stats.get("stage1_num_matvecs", 0) + stats.get(
+            "stage2_num_matvecs", 0)
+        if ref is not None:
+            _, sr, _, str_ = ref.svds(A, return_stats=True, **kw)
+            mr = str_["numMatvecs"]
+            err = float(np.abs(np.sort(sr) - np.sort(st_)).max())
+        else:
+            mr, err = -1, float("nan")
+        print(f"{name:26s} {mr:8d} {mt:8d} {err:9.1e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,7 @@ host).
 
 from __future__ import annotations
 
+import time
 from typing import Any, Optional
 
 import jax
@@ -56,7 +57,26 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     ``which`` in {'LM','SM','LA','SA','CLT','CGT'}; 'SM'/'CLT'/'CGT' are
     interior targets around ``sigma`` (default 0).
     """
-    Aop = aslinearoperator(A)
+    # Sparse inputs: prefer the shift-based banded (DIA) layout via RCM
+    # reordering — near-HBM-peak on TPU vs slow gathers (see operators.
+    # rcm_banded). The permutation is applied here and undone on output.
+    perm = None
+    try:
+        import scipy.sparse as _sp
+
+        if _sp.issparse(A):
+            rb = None
+            if M is None:
+                from .operators import rcm_banded
+                rb = rcm_banded(A)
+            if rb is not None:
+                Aop, perm = rb
+            else:
+                Aop = aslinearoperator(A)
+        else:
+            Aop = aslinearoperator(A)
+    except ImportError:  # pragma: no cover
+        Aop = aslinearoperator(A)
     n = Aop.shape[0]
     if Aop.shape[0] != Aop.shape[1]:
         raise ValueError("expected square operator; use svds for rectangular")
@@ -115,11 +135,15 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         v0j = jnp.asarray(np.asarray(v0))
         if v0j.ndim == 1:
             v0j = v0j[:, None]
+        if perm is not None:
+            v0j = v0j[perm, :]
     oc = None
     if lock is not None:
         oc = jnp.asarray(np.asarray(lock))
         if oc.ndim == 1:
             oc = oc[:, None]
+        if perm is not None:
+            oc = oc[perm, :]
         p = p.with_(num_ortho_const=int(oc.shape[1]))
         p = resolve_defaults(p)
 
@@ -173,6 +197,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         if oc is not None:
             oc = jax.device_put(oc, shard)
 
+    _t0 = time.perf_counter()
     if p.dynamic_method_switch:
         from .core.dynamic import solve_eigs_dynamic
         res: EigsResult = solve_eigs_dynamic(
@@ -199,12 +224,16 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
 
     stats = {k_: np.asarray(v).item()
              for k_, v in res.stats._asdict().items()}
+    stats["elapsed_time"] = time.perf_counter() - _t0
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}
     out = [np.asarray(res.evals)]
     if return_eigenvectors:
-        out.append(np.asarray(res.evecs))
+        ev = np.asarray(res.evecs)
+        if perm is not None:
+            ev = ev[np.argsort(perm), :]
+        out.append(ev)
     if return_stats:
         out.append(stats)
     return tuple(out) if len(out) > 1 else out[0]
@@ -275,7 +304,10 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
              for k_, v in res.stats._asdict().items()}
     out = [np.asarray(res.evals)]
     if return_eigenvectors:
-        out.append(np.asarray(res.evecs))
+        ev = np.asarray(res.evecs)
+        if perm is not None:
+            ev = ev[np.argsort(perm), :]
+        out.append(ev)
     if return_stats:
         out.append(stats)
     return tuple(out) if len(out) > 1 else out[0]

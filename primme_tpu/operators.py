@@ -348,9 +348,10 @@ class JacobiPrecond(LinearOperator):
     :meth:`matmat_shifted` takes the shifts as a traced ``[k]`` vector.
     """
 
-    def __init__(self, diag, eps: float = 1e-10):
+    def __init__(self, diag, eps: float = 1e-10, use_shifts: bool = True):
         self.d = jnp.asarray(diag)
         self.eps = eps
+        self.use_shifts = use_shifts   # False: fixed K, ignore per-pair shifts
         n = self.d.shape[0]
         self.shape = (n, n)
         self.dtype = self.d.dtype
@@ -359,11 +360,11 @@ class JacobiPrecond(LinearOperator):
         return (self.d,)
 
     def _aux(self):
-        return self.eps
+        return (self.eps, self.use_shifts)
 
     def _init_from(self, leaves, aux):
         (self.d,) = leaves
-        self.eps = aux
+        self.eps, self.use_shifts = aux if isinstance(aux, tuple) else (aux, True)
         self.shape = (self.d.shape[0],) * 2
         self.dtype = self.d.dtype
 
@@ -377,6 +378,8 @@ class JacobiPrecond(LinearOperator):
 
     def matmat_shifted(self, X, shifts):
         """Apply with per-column shifts: X[:, j] / (d - shifts[j])."""
+        if not self.use_shifts:
+            return self.matmat(X)
         denom = self.d[:, None] - shifts[None, :]
         mag = jnp.abs(denom)
         denom = jnp.where(mag < self.eps, self.eps, denom)
@@ -519,3 +522,42 @@ class BandedOperator(LinearOperator):
                 m = n + off
                 vals[b, -off:] = D.data[b, :m]
         return BandedOperator(offsets, vals, shape=A.shape)
+
+
+def rcm_banded(A, max_diags: int = 256, fill_factor: float = 32.0,
+               mem_cap_bytes: int = 1 << 30):
+    """Turn a scipy sparse matrix into a :class:`BandedOperator` if its
+    diagonal profile (natural or after reverse Cuthill-McKee reordering)
+    is narrow enough.
+
+    TPU gathers run ~2 orders of magnitude below HBM peak while
+    shift-based (DIA) matvecs run near it, so even a heavily padded DIA
+    layout wins: fill up to ``fill_factor`` x nnz is accepted (capped by
+    ``mem_cap_bytes``). Returns ``(BandedOperator, perm-or-None)`` or
+    ``None``; a non-None perm means the operator acts on P A P^T and the
+    caller must permute inputs / un-permute outputs
+    (:func:`primme_tpu.api.eigsh`)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        return None
+
+    def _accept(M):
+        C = M.tocoo()
+        offs = np.unique(C.col - C.row)
+        ok = (len(offs) <= max_diags
+              and len(offs) * n <= fill_factor * max(M.nnz, 1)
+              and len(offs) * n * M.dtype.itemsize <= mem_cap_bytes)
+        return offs if ok else None
+
+    # natural ordering first (grid problems are already diagonal-sparse)
+    if _accept(A) is not None:
+        return BandedOperator.from_scipy(A.todia()), None
+    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    Ap = A[perm][:, perm]
+    if _accept(Ap) is not None:
+        return BandedOperator.from_scipy(Ap.todia()), perm
+    return None

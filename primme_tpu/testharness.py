@@ -159,8 +159,12 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 4.0,
     K = None
     has_prec = cfg.prec_choice not in ("noprecond", "")
     if has_prec:
+        # the reference test driver applies a FIXED 1/(diag - shift)
+        # jacobi preconditioner (tests/COMMON/shared_utils.c jacobi path),
+        # not re-shifted per Ritz value
         d = A.diagonal() - cfg.shift
-        K = JacobiPrecond(np.where(np.abs(d) < 1e-10, 1.0, d))
+        K = JacobiPrecond(np.where(np.abs(d) < 1e-10, 1.0, d),
+                          use_shifts=False)
 
     meth = cfg.method or Method.DEFAULT_METHOD
     p = set_method(meth, p, has_precond=has_prec)
@@ -270,7 +274,10 @@ def run_svds_config(path: str, base_dir: str = None,
         if ln.startswith("method") and "svds" in ln:
             method = ln.split("=", 1)[1].strip().replace("primme_svds_", "")
 
-    U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method)
+    # budget comparable to the reference's own consumption on these
+    # configs (~140-160k matvecs on the smallest-target ones)
+    U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
+                           maxiter=120000)
     out = CheckResult()
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     anorm = sref[0]

@@ -212,3 +212,16 @@ def test_mhd1280b_reference():
     vals, vecs = eigsh(A, k=5, which="LA", tol=1e-10,
                        raise_for_unconverged=False)
     assert_close(vals, ref[-5:], tol=1e-8)
+
+
+@pytest.mark.parametrize("n,k", [(2, 1), (2, 2), (5, 5), (10, 10), (1, 1)])
+def test_edge_sizes(n, k):
+    """k = n and tiny-n edge cases (the reference sweeps these in its
+    combinatorial interface tests, tests/Makefile:146-180)."""
+    rng = np.random.default_rng(n * 10 + k)
+    A = rng.normal(size=(n, n))
+    A = (A + A.T) / 2
+    ref = np.linalg.eigvalsh(A)
+    vals, _ = eigsh(A, k=k, which="SA", tol=1e-10,
+                    raise_for_unconverged=False)
+    assert np.abs(np.sort(vals) - ref[:k]).max() < 1e-8
