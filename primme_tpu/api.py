@@ -304,10 +304,7 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
              for k_, v in res.stats._asdict().items()}
     out = [np.asarray(res.evals)]
     if return_eigenvectors:
-        ev = np.asarray(res.evecs)
-        if perm is not None:
-            ev = ev[np.argsort(perm), :]
-        out.append(ev)
+        out.append(np.asarray(res.evecs))
     if return_stats:
         out.append(stats)
     return tuple(out) if len(out) > 1 else out[0]

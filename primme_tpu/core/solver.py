@@ -872,7 +872,15 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     cfg, shifts, s0 = setup_solver(A, p, B=B, v0=v0,
                                    ortho_const=ortho_const, key=key,
                                    dtype=dtype, shard=shard)
-    s = run_segment(cfg, A, B, K, inner_solve, shifts, s0,
-                    jnp.asarray((1 << 31) - 1, jnp.int32), debug=debug,
-                    monitor=monitor, convtest=convtest)
-    return extract_result(cfg, s, shifts, B is not None)
+    s = _run_segment_jit(cfg, A, B, K, inner_solve, shifts, s0,
+                         jnp.asarray((1 << 31) - 1, jnp.int32), debug,
+                         monitor, convtest)
+    return _extract_jit(cfg, s, shifts, B is not None)
+
+
+# Persistent jit caches: cfg and the function-valued arguments are static
+# (hashable); operators are pytrees. Repeated solves with the same
+# configuration reuse the compiled loop instead of re-tracing.
+_run_segment_jit = jax.jit(run_segment,
+                           static_argnums=(0, 4, 8, 9, 10))
+_extract_jit = jax.jit(extract_result, static_argnums=(0, 3))

@@ -9,29 +9,30 @@ import pytest
 from primme_tpu.testharness import run_config, run_svds_config
 
 TESTS = "/root/reference/tests/tests"
+FULL = bool(os.environ.get("PRIMME_TPU_FULL_GOLDEN"))
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(TESTS),
                                 reason="reference test configs not present")
 
+# The full 20-config sweep takes ~20 min on CPU; the default run covers a
+# representative subset and PRIMME_TPU_FULL_GOLDEN=1 enables the rest.
+EIGS_FAST = ["test_001", "test_002", "test_005", "test_007"]
+EIGS_SLOW = ["test_003", "test_004", "test_006"]
+CPLX_FAST = ["test_101", "test_103", "test_106"]
+CPLX_SLOW = ["test_102", "test_104", "test_105"]
+SVDS_FAST = ["test_201", "test_202", "test_205"]
+SVDS_SLOW = ["test_203", "test_204", "test_206", "test_207"]
 
-@pytest.mark.parametrize("name", ["test_001", "test_002", "test_003",
-                                  "test_004", "test_005", "test_006",
-                                  "test_007"])
+
+@pytest.mark.parametrize("name",
+                         EIGS_FAST + CPLX_FAST + (EIGS_SLOW + CPLX_SLOW
+                                                  if FULL else []))
 def test_eigs_golden(name):
     r = run_config(os.path.join(TESTS, name))
     assert r.ok, repr(r)
 
 
-@pytest.mark.parametrize("name", ["test_101", "test_102", "test_103",
-                                  "test_104", "test_105", "test_106"])
-def test_eigs_golden_complex(name):
-    r = run_config(os.path.join(TESTS, name))
-    assert r.ok, repr(r)
-
-
-@pytest.mark.parametrize("name", ["test_201", "test_202", "test_203",
-                                  "test_204", "test_205", "test_206",
-                                  "test_207"])
+@pytest.mark.parametrize("name", SVDS_FAST + (SVDS_SLOW if FULL else []))
 def test_svds_golden(name):
     r = run_svds_config(os.path.join(TESTS, name))
     assert r.ok, repr(r)
