@@ -48,11 +48,13 @@ def main():
     # compile
     res = run(v0)
     res.evals.block_until_ready()
-    # timed
-    t0 = time.perf_counter()
-    res = run(v0)
-    res.evals.block_until_ready()
-    wall = time.perf_counter() - t0
+    # timed: min of 3 (tunneled-device timings are noisy)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run(v0)
+        res.evals.block_until_ready()
+        wall = min(wall, time.perf_counter() - t0)
 
     evals = np.asarray(res.evals)
     # analytic spectrum of the 7-pt Dirichlet Laplacian
