@@ -17,10 +17,11 @@ import time
 import numpy as np
 
 
-# Anchor: upstream PRIMME (C, OpenBLAS, 1 socket) on the same 64^3 Jacobi
-# GD+k config takes ~2.5 s wall. Until a measured number for this exact
-# host exists, this constant is the comparison point.
-BASELINE_WALL_S = 2.5
+# Anchor: MEASURED on this host — upstream PRIMME (C library + its Python
+# binding, f64, scipy-sparse matvec, JDQMR_ETol + Jacobi, same 64^3
+# Laplacian k=10 tol=1e-5): 12.74 s / 913 matvecs (min of 2 runs,
+# 2026-08-17; build recipe in benches/vs_reference.py).
+BASELINE_WALL_S = 12.74
 
 
 def main():
