@@ -36,7 +36,7 @@ def main():
     A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
     p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
-                     max_matvecs=6000)
+                     max_matvecs=6000, locking=0)
     # JDQMR_ETol: the QMR inner loop costs ~1 matvec + 2 dots per step —
     # 3x faster wall-clock than GD+k on this config (see benches/).
     p = set_method(Method.JDQMR_ETol, p, has_precond=True)
