@@ -198,6 +198,15 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             oc = jax.device_put(oc, shard)
 
     _t0 = time.perf_counter()
+    if dtype is not None and jnp.dtype(dtype) != jnp.dtype(Aop.dtype):
+        from .operators import CastOperator
+        wd = jnp.dtype(dtype)
+        Aop = CastOperator(Aop, wd)
+        if Mop is not None:
+            Mop = CastOperator(Mop, wd)
+        if K is not None:
+            K = CastOperator(K, wd)
+
     if p.dynamic_method_switch:
         from .core.dynamic import solve_eigs_dynamic
         res: EigsResult = solve_eigs_dynamic(

@@ -561,3 +561,42 @@ def rcm_banded(A, max_diags: int = 256, fill_factor: float = 32.0,
     if _accept(Ap) is not None:
         return BandedOperator.from_scipy(Ap.todia()), perm
     return None
+
+
+@jax.tree_util.register_pytree_node_class
+class CastOperator(LinearOperator):
+    """Run a user operator at its own precision while the solver works in
+    another (the reference's ``internalPrecision`` boundary: user arrays
+    are cast at the matvec mediation layer, ``matrixMatvec_Sprimme``,
+    ``src/eigs/auxiliary_eigs.c``)."""
+
+    def __init__(self, op: LinearOperator, dtype):
+        self.op = op
+        self.dtype = jnp.dtype(dtype)
+        self.shape = op.shape
+
+    def tree_flatten(self):
+        return (self.op,), str(self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], jnp.dtype(aux))
+
+    def matmat(self, X):
+        return self.op.matmat(X.astype(self.op.dtype)).astype(self.dtype)
+
+    def rmatmat(self, X):
+        return self.op.rmatmat(X.astype(self.op.dtype)).astype(self.dtype)
+
+    def matmat_shifted(self, X, shifts):
+        from . import operators as _  # noqa: F401
+        if hasattr(self.op, "matmat_shifted"):
+            return self.op.matmat_shifted(
+                X.astype(self.op.dtype),
+                shifts.astype(jnp.zeros((), self.op.dtype).real.dtype)
+            ).astype(self.dtype)
+        return self.matmat(X)
+
+    def diagonal(self):
+        d = self.op.diagonal()
+        return None if d is None else d.astype(self.dtype)

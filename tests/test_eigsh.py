@@ -225,3 +225,13 @@ def test_edge_sizes(n, k):
     vals, _ = eigsh(A, k=k, which="SA", tol=1e-10,
                     raise_for_unconverged=False)
     assert np.abs(np.sort(vals) - ref[:k]).max() < 1e-8
+
+
+def test_mixed_precision_work_dtype(tridiag):
+    """internalPrecision analogue: f64 input, f32 working precision
+    (primme_op_datatype, include/primme_eigs.h:100-107)."""
+    A, ref = tridiag
+    vals, vecs = eigsh(A, k=4, which="SA", tol=1e-4, dtype=np.float32,
+                       raise_for_unconverged=False)
+    assert vals.dtype == np.float32
+    assert_close(vals, ref[:4], tol=1e-3)
