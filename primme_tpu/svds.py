@@ -80,7 +80,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
          precAHA: Any = None, precAAH: Any = None, precAug: Any = None,
          maxBlockSize: int = 0, return_stats: bool = False,
          raise_for_unconverged: bool = False, seed: int = 0,
-         aNorm: float = 0.0):
+         aNorm: float = 0.0, mesh: Any = None):
     """Compute k singular triplets of the rectangular operator ``A``.
 
     Mirrors the reference Python binding (``Python/primme.pyx:1074``) with
@@ -90,6 +90,19 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
     ``src/svds/primme_svds_interface.c:219``).
     """
     Aop = aslinearoperator(A)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(axis, None))
+
+        def _shard_leaf(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and                     x.shape[0] % mesh.devices.size == 0:
+                spec = P(axis, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return x
+
+        Aop = jax.tree_util.tree_map(_shard_leaf, Aop)
     m, n = Aop.shape
     kmax = min(m, n)
     if not (0 < k <= kmax):
@@ -152,7 +165,8 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
         inner1 = None
         if p1.max_inner_iterations != 0:
             from .core.inner import jdqmr_inner_solve as inner1
-        r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1)
+        r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1,
+                        shard=shard)
         merge_stats(r1.stats, "stage1")
 
         w = jnp.maximum(jnp.real(r1.evals), 0.0)

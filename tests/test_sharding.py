@@ -42,3 +42,12 @@ def test_stencil_sharded(mesh8):
     lam = (ax(16)[:4, None, None] + ax(8)[None, :4, None]
            + ax(8)[None, None, :4]).ravel()
     assert np.abs(np.sort(vals) - np.sort(lam)[:3]).max() < 1e-2
+
+
+def test_svds_stage1_sharded(mesh8):
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(256, 160)).astype(np.float64)
+    sref = np.linalg.svd(A, compute_uv=False)
+    with mesh8:
+        U, s, Vt = svds(A, k=3, which="LM", tol=1e-9, mesh=mesh8)
+    assert np.abs(np.sort(s) - np.sort(sref)[-3:]).max() < 1e-7 * sref[0]
