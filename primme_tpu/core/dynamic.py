@@ -93,19 +93,20 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     max_outer = min(p.max_outer_iterations, (1 << 31) - 1)
     max_mv = min(p.max_matvecs, (1 << 31) - 1)
 
+    prev_snap = None
     while True:
         it0 = int(s.stats.num_outer_iterations)
         if bool(s.done) or it0 >= max_outer or \
                 int(s.stats.num_matvecs) >= max_mv:
             break
-        res_b, lock_b, anorm_b = snapshot(s)
+        res_b, lock_b, anorm_b = prev_snap or snapshot(s)
         score_b = _progress_score(cfg_gd, res_b, lock_b, max(anorm_b, 1e-30),
                                   p.eps)
         t0 = time.perf_counter()
         s = runners[current](s, jnp.asarray(it0 + _SEG_OUTER, jnp.int32))
         jax.block_until_ready(s.stats.num_outer_iterations)
         dt = max(time.perf_counter() - t0, 1e-9)
-        res_a, lock_a, anorm_a = snapshot(s)
+        res_a, lock_a, anorm_a = prev_snap = snapshot(s)
         score_a = _progress_score(cfg_gd, res_a, lock_a, max(anorm_a, 1e-30),
                                   p.eps)
         rate = max(score_a - score_b, 0.0) / dt

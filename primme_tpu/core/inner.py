@@ -45,7 +45,8 @@ def _dots(X, Y):
     return jnp.real(jnp.sum(X.conj() * Y, axis=0))
 
 
-def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol):
+def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
+                      evals=None):
     """Solve the block correction equation with projected sQMR.
 
     Arguments mirror the candidate block prepared by the outer iteration:
@@ -57,19 +58,28 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol):
     """
     from ..operators import apply_precond
 
+    if evals is None:
+        evals = sigma
+
     n, blk = X.shape
     dtype = X.dtype
     rdt = real_dtype(dtype)
     meps = machine_eps(dtype)
-    touch = s.stats.num_inner_iterations * 0 + s.num_locked  # see note below
-    # ``touch`` approximates the reference's progress counter (incremented
-    # per successful adaptive solve); using num_locked+outer-restarts keeps
-    # the 1.8^-touch tightening monotone without extra state. TODO: thread
-    # a dedicated counter through SolverState.
+    # ``touch`` approximates the reference's progress counter. The
+    # decreasing-LTolerance test tightens relTolBase^-touch per *call*
+    # (inner_solve.c:238-244) -> outer-iteration count is the right proxy;
+    # the adaptive 1.8^-touch factors tighten per converged pair ->
+    # locked count is the right proxy.
+    if cfg.conv_test == ConvTest.decreasing_LTolerance:
+        touch = s.stats.num_outer_iterations
+    else:
+        touch = s.num_locked
     touch = jnp.minimum(touch.astype(rdt), 40.0)
 
-    lam = jnp.where(jnp.isfinite(sigma), sigma, 0).astype(rdt)
-    shift = lam
+    # eigenpair-monitoring recurrences need the Ritz value and the
+    # correction shift separately (robust shifts make them differ)
+    lam = jnp.where(jnp.isfinite(evals) & valid, evals, 0).astype(rdt)
+    shift = jnp.where(jnp.isfinite(sigma) & valid, sigma, 0).astype(rdt)
     vmaskf = valid.astype(dtype)[None, :]
 
     has_lockedQ = cfg.locking or cfg.noc > 0
@@ -133,9 +143,15 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol):
                                  ConvTest.adaptive_ETolerance)
 
     if cfg.max_inner > 0:
-        max_its = cfg.max_inner
+        max_its_static = cfg.max_inner
     else:
-        max_its = max(min(cfg.n, 1000), 1)
+        max_its_static = max(min(cfg.n, 1000), 1)
+    # never exceed the remaining global matvec budget (the reference
+    # clamps maxIterations to maxMatvecs - numMatvecs, inner_solve.c:255)
+    remaining = jnp.maximum(
+        jnp.asarray(cfg.max_matvecs, jnp.int32) - s.stats.num_matvecs, 1)
+    max_its = jnp.minimum(jnp.asarray(max_its_static, jnp.int32),
+                          remaining // max(blk, 1) + 1)
 
     class QmrState(NamedTuple):
         sol: jax.Array

@@ -343,11 +343,15 @@ def solve_H_refined(H, M, b, target: Target, shifts, shift_idx):
     amask = col_mask(mmax, b)
     rdt = real_dtype(H.dtype)
     s0 = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
-    taus = jnp.where(jnp.isfinite(base.hvals), base.hvals,
-                     s0.astype(base.hvals.dtype))
+    # NOTE: padded hvals use finfo.max (which IS finite) — select by the
+    # active mask, or pad taus poison G2 and the ramp scale.
+    taus = jnp.where(base.active, base.hvals, s0.astype(base.hvals.dtype))
 
-    scale = 2.0 * jnp.max(jnp.abs(M)) + 2.0 * jnp.max(
-        jnp.abs(taus[0]) ** 2 + jnp.abs(H[0, 0])) + 1.0
+    # sentinel ramp above every per-pair G2(tau): bound ||G2(tau)|| by
+    # ||M|| + 2|tau| ||H|| + tau^2 over ALL shifts
+    tmax = jnp.max(jnp.where(base.active, jnp.abs(taus), 0.0))
+    scale = 2.0 * (jnp.max(jnp.abs(M)) + 2.0 * tmax * jnp.max(jnp.abs(H))
+                   + tmax * tmax) + 1.0
     ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
 
     def one(tau):
@@ -365,7 +369,12 @@ def solve_H_refined(H, M, b, target: Target, shifts, shift_idx):
     # the "arbitrary vectors" machinery in ``prepare_vecs``,
     # ``src/eigs/solve_projection.c:842``).
     hv = hv * base.active.astype(H.dtype)[None, :]
+    # QR of exactly-zero (pad) columns produces NaN reflectors that
+    # contaminate every column; pads sort last, so substitute unit
+    # placeholder columns for them and re-zero afterwards.
+    hv = jnp.where(base.active[None, :], hv, jnp.eye(mmax, dtype=H.dtype))
     hv = jnp.linalg.qr(hv)[0]
+    hv = hv * base.active.astype(H.dtype)[None, :]
     # Rayleigh quotients of the refined vectors
     Hm = jnp.where(amask[:, None] & amask[None, :], H, 0)
     rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
@@ -415,8 +424,7 @@ def solve_H_harmonic(H, M, b, target: Target, shifts, shift_idx):
     safe_mu = jnp.where(jnp.abs(mu) < jnp.finfo(rdt).tiny,
                         jnp.finfo(rdt).tiny, mu)
     theta = tau + 1.0 / safe_mu
-    keys = target_sort_keys(theta, target, shifts.astype(rdt),
-                            jnp.zeros((), jnp.int32))
+    keys = target_sort_keys(theta, target, shifts.astype(rdt), shift_idx)
     inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
     keys = jnp.where(is_pad, inf, keys)
     order = jnp.argsort(keys)

@@ -71,6 +71,7 @@ class Stats(NamedTuple):
     num_inner_iterations: jax.Array
     num_locked: jax.Array
     num_random: jax.Array          # random-vector ortho recoveries
+    num_resets: jax.Array          # basis resets (monotone; bounds cycles)
     anorm_estimate: jax.Array
     max_conv_tol: jax.Array        # adaptive accuracy floor (stats.maxConvTol)
     estimate_resid_error: jax.Array  # accumulated-roundoff estimate
@@ -79,7 +80,7 @@ class Stats(NamedTuple):
     def zeros(rdt):
         z = jnp.zeros((), jnp.int32)
         zr = jnp.zeros((), rdt)
-        return Stats(z, z, z, z, z, z, z, zr, zr, zr)
+        return Stats(z, z, z, z, z, z, z, z, zr, zr, zr)
 
 
 class SolverState(NamedTuple):
@@ -167,7 +168,7 @@ def make_config(p: PrimmeParams) -> SolveConfig:
     noc = p.num_ortho_const
     return SolveConfig(
         n=p.n, ne=ne, mmax=mmax, mrs=p.min_restart_size, blk=blk,
-        kmax=p.max_prev_retain, cwin=cwin, noc=noc,
+        kmax=min(p.max_prev_retain, cwin), cwin=cwin, noc=noc,
         lockmax=noc + ne + cwin, locking=bool(p.locking), target=p.target,
         eps=p.eps, a_norm=p.a_norm, olsen=p.projectors.RightX,
         robust_shifts=p.robust_shifts,
@@ -193,9 +194,12 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     n, mmax, blk = cfg.n, cfg.mmax, cfg.blk
     b0 = max(min(cfg.mrs, mmax), min(blk, mmax))
     nb = -(-b0 // blk)  # ceil
-    V = jnp.zeros((n, mmax), dtype)
-    W = jnp.zeros((n, mmax), dtype)
-    BV = V if B is None else jnp.zeros((n, mmax), dtype)
+    # over-allocate to a block multiple so the last (partial) block's panel
+    # write never clamps onto earlier columns; sliced back to mmax below
+    mal = max(mmax, nb * blk)
+    V = jnp.zeros((n, mal), dtype)
+    W = jnp.zeros((n, mal), dtype)
+    BV = V if B is None else jnp.zeros((n, mal), dtype)
 
     key, k0 = jax.random.split(key)
     X = _rand_block(k0, n, blk, dtype)
@@ -233,6 +237,8 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
 
     V, W, BV, _, key, nrand = jax.lax.fori_loop(
         0, nb, body, (V, W, BV, X, key, jnp.zeros((), jnp.int32)))
+    V, W = V[:, :mmax], W[:, :mmax]
+    BV = V if B is None else BV[:, :mmax]
     b = jnp.asarray(b0, jnp.int32)
     H = gram(V, W)  # inactive rows/cols exactly zero already
     if cfg.hermitian:
@@ -391,7 +397,7 @@ def _ortho_span_coeff(P, C, tol):
     return Q, valid
 
 
-def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
+def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
                has_B: bool) -> SolverState:
     """Thick restart with +k retention and (optional) hard locking."""
     mmax, mrs, kmax, c = cfg.mmax, cfg.mrs, cfg.kmax, cfg.cwin
@@ -515,11 +521,47 @@ def do_restart(cfg: SolveConfig, s: SolverState, win: Window,
         num_restarts=_i32(s.stats.num_restarts + 1),
         num_locked=_i32(s.stats.num_locked + nl),
         max_conv_tol=mct, estimate_resid_error=drift)
-    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=b_new,
-                      prev_hvecs=jnp.zeros_like(s.prev_hvecs),
-                      evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
-                      locked_res=locked_res, num_locked=num_locked,
-                      stats=stats)
+    # Locking progress resets the stagnation tracking: best_res is the
+    # best residual of the *current* leading candidate, which changes
+    # identity when a pair locks; the reset budget is per-target too.
+    rinf = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    s = s._replace(V=V, W=W, BV=BV, H=H, M=M, b=b_new,
+                   prev_hvecs=jnp.zeros_like(s.prev_hvecs),
+                   evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
+                   locked_res=locked_res, num_locked=num_locked,
+                   best_res=jnp.where(nl > 0, rinf, s.best_res),
+                   stall_restarts=jnp.where(nl > 0, 0,
+                                            s.stall_restarts).astype(jnp.int32),
+                   stats=stats._replace(num_resets=_i32(jnp.where(
+                       nl > 0, 0, stats.num_resets))))
+    # If locking consumed the whole basis (all active pairs converged and
+    # were locked, nothing kept), refill with a random block so the
+    # iteration can continue — the reference inserts initial guesses /
+    # random vectors at this point (restart.c:269-276, main_iter random
+    # substitution). Without this, b = 0 is an absorbing state.
+    return jax.lax.cond(s.b < 1, lambda s: _refill_random(cfg, A, B, s),
+                        lambda s: s, s)
+
+
+def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
+    key, kk, kr = jax.random.split(s.key, 3)
+    X = _rand_block(kr, cfg.n, cfg.blk, s.V.dtype)
+    locked = ((s.evecs, s.Bevecs) if (cfg.noc > 0 or cfg.locking) else None)
+    res = block_ortho(X, (s.V, s.BV), locked, _i32(cfg.blk), kk, Bop=B)
+    V = _dus(s.V, res.X, 0, 0)
+    BV = _dus(s.BV, res.BX, 0, 0) if B is not None else V
+    Y = A.matmat(res.X)
+    W = _dus(s.W, Y, 0, 0)
+    H = gram(V, Y)
+    Hn = jnp.zeros_like(s.H)
+    Hn = _dus(Hn, H, 0, 0)
+    if cfg.hermitian:
+        Hn = 0.5 * (Hn + _herm(Hn))
+    M = gram(W, W) if cfg.projection != Projection.RR else s.M
+    stats = s.stats._replace(
+        num_matvecs=_i32(s.stats.num_matvecs + cfg.blk))
+    return s._replace(V=V, W=W, BV=BV, H=Hn, M=M, b=_i32(cfg.blk),
+                      key=key, stats=stats)
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +600,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     n_mv_inner = jnp.zeros((), jnp.int32)
     if cfg.max_inner != 0 and inner_solve is not None:
         D, n_inner, n_mv_inner, n_prec = inner_solve(
-            cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol)
+            cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol,
+            evals=lam)
     else:
         D = gd_correction(cfg, K, R, X, sigma, valid)
         if K is not None:
@@ -568,6 +611,43 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     locked = ((s.evecs, s.Bevecs)
               if (cfg.noc > 0 or cfg.locking) else None)
     ores = block_ortho(D, (s.V, s.BV), locked, nc, kk, Bop=B)
+    # A direction (and its random replacement) can collapse to zero when
+    # span(V) + locked already exhausts the space; such columns are zeroed
+    # by block_ortho's second pass and MUST NOT be counted as basis
+    # columns (a zero active column shows up as a fake converged pair with
+    # eigenvalue 0). Compact surviving columns to the front.
+    def _survivors(o):
+        cn2 = jnp.real(jnp.sum(o.X.conj() * o.X, axis=0))
+        srt = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
+                          + _BIG * (cn2 < 0.25).astype(jnp.int32))
+        srv = _i32(jnp.sum((cn2 >= 0.25).astype(jnp.int32)))
+        Xc = o.X[:, srt]
+        BXc = o.BX[:, srt] if B is not None else Xc
+        return o._replace(X=Xc, BX=BXc), srv
+
+    ores, srv = _survivors(ores)
+
+    # All correction directions collapsed (rare: near-exhausted span or a
+    # degenerate preconditioner). Retry with a fresh random block; if even
+    # that collapses, nc=0 and the zero-progress guard below restarts.
+    def _retry_random(args):
+        o, key = args
+        key, k1, k2 = jax.random.split(key, 3)
+        rnd = _rand_block(k1, cfg.n, blk, s.V.dtype)
+        o2 = block_ortho(rnd, (s.V, s.BV), locked, nc, k2, Bop=B)
+        o2, srv2 = _survivors(o2)
+        return o2, srv2, key
+
+    ores, srv, key = jax.lax.cond(
+        (srv == 0) & (nc > 0),
+        _retry_random,
+        lambda args: (args[0], srv, args[1]),
+        (ores, key))
+    nc = jnp.minimum(nc, srv)
+    keepf = (jnp.arange(blk) < nc).astype(ores.X.dtype)[None, :]
+    oX = ores.X * keepf
+    oBX = ores.BX * keepf if B is not None else oX
+    ores = ores._replace(X=oX, BX=oBX)
 
     V = _dus(s.V, ores.X, 0, s.b)
     BV = _dus(s.BV, ores.BX, 0, s.b) if B is not None else V
@@ -646,6 +726,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     M = M[order][:, order] if cfg.projection != Projection.RR else M
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + s.b),
+        num_resets=_i32(s.stats.num_resets + 1),
         estimate_resid_error=jnp.zeros((), real_dtype(s.V.dtype)))
     return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=nkeep,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
@@ -755,25 +836,36 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
             win.conv | ~win.is_target | ~win.sol.active[:cfg.cwin],
             jnp.asarray(jnp.finfo(win.tol.dtype).max, win.tol.dtype),
             win.cands.resnorms))
-        improved = cur_res < 0.7 * s.best_res
+        # true stalls plateau bit-exactly (accumulated-roundoff floors),
+        # while slow-but-healthy configs (e.g. maxBasisSize=3) still gain
+        # fractions of a percent per restart — use a 0.1% bar
+        improved = cur_res < 0.999 * s.best_res
         best_res = jnp.minimum(s.best_res, cur_res)
         stall = jnp.where(improved, 0, s.stall_restarts).astype(jnp.int32)
         need_reset = need_restart & (stall >= 12)
+        # hard give-up: bounded number of reset cycles (monotone counter —
+        # do_reset clears the stall counter, so stall alone cannot bound
+        # the loop), and a cap on consecutive no-progress iterations
+        done = done | (s.stats.num_resets >= 30) | (stall >= 500)
 
         def when_active(s):
             def restart_or_reset(s):
-                s = do_restart(cfg, s, win, B is not None)
+                s = do_restart(cfg, A, B, s, win, B is not None)
                 s = s._replace(stall_restarts=_i32(s.stall_restarts + 1))
                 return jax.lax.cond(need_reset,
                                     lambda s: do_reset(cfg, A, B, s),
                                     lambda s: s, s)
 
-            return jax.lax.cond(
-                need_restart,
-                restart_or_reset,
-                lambda s: do_expand(cfg, A, B, K, s, win,
-                                    inner_solve=inner_solve),
-                s)
+            def expand(s):
+                mv0 = s.stats.num_matvecs
+                s = do_expand(cfg, A, B, K, s, win,
+                              inner_solve=inner_solve)
+                # an expansion that added no basis column is a stall
+                return s._replace(stall_restarts=_i32(jnp.where(
+                    s.stats.num_matvecs > mv0, s.stall_restarts,
+                    s.stall_restarts + 1)))
+
+            return jax.lax.cond(need_restart, restart_or_reset, expand, s)
 
         if debug:
             cn = jnp.linalg.norm(s.V, axis=0)

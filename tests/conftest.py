@@ -21,3 +21,14 @@ import jax
 # config update is authoritative (must run before backend initialization).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Long single-process runs accumulate compiled executables until the
+    XLA CPU compiler aborts (OOM); drop caches between test modules."""
+    yield
+    jax.clear_caches()

@@ -235,3 +235,29 @@ def test_mixed_precision_work_dtype(tridiag):
                        raise_for_unconverged=False)
     assert vals.dtype == np.float32
     assert_close(vals, ref[:4], tol=1e-3)
+
+
+def test_identity_multiplicity_no_hang():
+    """Degenerate spectrum: every subspace invariant; locking must refill
+    the basis instead of entering the empty-basis absorbing state."""
+    n, k = 40, 12
+    A = np.eye(n)
+    vals, vecs = eigsh(A, k=k, which="SA", tol=1e-10, maxiter=3000,
+                       raise_for_unconverged=False)
+    assert np.abs(vals - 1.0).max() < 1e-8
+    G = vecs.T @ vecs
+    assert np.abs(G - np.eye(k)).max() < 1e-8
+
+
+def test_span_exhaustion_no_fake_pairs():
+    """Basis + locked vectors exhaust R^n: collapsed expansion directions
+    must not enter the basis as zero columns (fake eigenvalue-0 pairs)."""
+    rng = np.random.default_rng(11)
+    n, k = 20, 10
+    A = rng.normal(size=(n, n))
+    A = A @ A.T + np.eye(n)  # SPD, eigenvalues >= 1
+    ref = np.linalg.eigvalsh(A)
+    vals, vecs = eigsh(A, k=k, which="SA", tol=1e-10, ncv=15,
+                       maxiter=4000, raise_for_unconverged=False)
+    assert np.min(vals) > 0.5, f"fake zero pair: {vals}"
+    assert np.abs(np.sort(vals) - ref[:k]).max() < 1e-7 * ref[-1]
