@@ -274,10 +274,19 @@ def run_svds_config(path: str, base_dir: str = None,
         if ln.startswith("method") and "svds" in ln:
             method = ln.split("=", 1)[1].strip().replace("primme_svds_", "")
 
+    # jacobi PrecChoice -> diag(A^H A) preconditioner for stage 1
+    # (driversvds.c jacobi builds 1/diag of the normal-equations operator)
+    prec = {}
+    if cfg.prec_choice == "jacobi":
+        from .operators import JacobiPrecond
+        d = np.asarray(A.multiply(A.conj()).sum(axis=0)).ravel().real
+        K = JacobiPrecond(np.where(d < 1e-300, 1.0, d), use_shifts=False)
+        prec = {"precAHA": K} if A.shape[0] >= A.shape[1] else {"precAAH": K}
+
     # budget comparable to the reference's own consumption on these
     # configs (~140-160k matvecs on the smallest-target ones)
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
-                           maxiter=120000)
+                           maxiter=120000, **prec)
     out = CheckResult()
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     anorm = sref[0]
