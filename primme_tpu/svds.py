@@ -148,7 +148,12 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                           a_norm=aNorm * aNorm if aNorm > 0 else 0.0,
                           rng_seed=seed)
         if maxiter:
-            p1 = p1.with_(max_matvecs=maxiter // 2)
+            # stage 1's job is the invariant subspace, not full accuracy;
+            # smallest-target normal equations can burn unbounded matvecs
+            # grinding on sigma^2-scale clusters it cannot resolve, so it
+            # gets the smaller share (the augmented stage refines)
+            share = 4 if which != "LM" else 2
+            p1 = p1.with_(max_matvecs=maxiter // share)
         meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
         if isinstance(meth1, str):
             meth1 = Method[meth1.replace("PRIMME_", "")]
