@@ -36,7 +36,8 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..params import PrimmeParams, Target, ConvTest, Projection
+from ..params import (PrimmeParams, Target, ConvTest, Projection,
+                      InitBasisMode)
 from . import linalg as la
 from .linalg import (Candidates, bcomb, col_mask, gram, mask_cols,
                      real_dtype, machine_eps, solve_H_rr, solve_H_refined,
@@ -159,6 +160,7 @@ class SolveConfig(NamedTuple):
     rightQ: bool
     projection: Projection
     hermitian: bool
+    init_random: bool
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
@@ -178,7 +180,8 @@ def make_config(p: PrimmeParams) -> SolveConfig:
         rel_tol_base=p.rel_tol_base, skewX=p.projectors.SkewX,
         leftQ=p.projectors.LeftQ, leftX=p.projectors.LeftX,
         skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ,
-        projection=p.projection, hermitian=p.hermitian)
+        projection=p.projection, hermitian=p.hermitian,
+        init_random=(p.init_basis_mode == InitBasisMode.random))
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +225,12 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
         V, W, BV, X, key, nrand = carry
         key, kk = jax.random.split(key)
         bi = i * blk
+        if cfg.init_random:
+            # primme_init_random (include/primme_eigs.h:64-69): fill the
+            # initial basis with random vectors instead of Krylov powers
+            # (the LOBPCG presets prescribe this)
+            key, kr = jax.random.split(key)
+            X = _rand_block(kr, n, blk, dtype)
         if v0pad is not None and ngb > 1:
             gb = jax.lax.dynamic_slice(
                 v0pad, (_i32(0), _i32(jnp.minimum(bi, (ngb - 1) * blk))),
