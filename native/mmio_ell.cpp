@@ -93,6 +93,11 @@ bool parse_mtx(const char* path, Coo* out) {
     char* p = line;
     const int64_t i = std::strtol(p, &p, 10) - 1;
     const int64_t j = std::strtol(p, &p, 10) - 1;
+    if (i < 0 || i >= m || j < 0 || j >= n) {
+      out->error = "entry index out of declared bounds";
+      std::fclose(f);
+      return false;
+    }
     double a = 1.0, b = 0.0;
     if (!is_pattern) {
       a = std::strtod(p, &p);
@@ -161,7 +166,10 @@ int64_t ptn_coo_to_ell(int64_t n_rows, int64_t nnz, const int64_t* row,
                        int64_t width, int32_t* out_cols, double* out_re,
                        double* out_im) {
   std::vector<int64_t> count(n_rows, 0);
-  for (int64_t k = 0; k < nnz; ++k) count[row[k]]++;
+  for (int64_t k = 0; k < nnz; ++k) {
+    if (row[k] < 0 || row[k] >= n_rows) return -1;
+    count[row[k]]++;
+  }
   int64_t w = 1;
   for (int64_t i = 0; i < n_rows; ++i) w = std::max(w, count[i]);
   if (!out_cols) return w;
@@ -172,6 +180,7 @@ int64_t ptn_coo_to_ell(int64_t n_rows, int64_t nnz, const int64_t* row,
   if (out_im) std::memset(out_im, 0, n_rows * width * sizeof(double));
   for (int64_t k = 0; k < nnz; ++k) {
     const int64_t i = row[k];
+    if (fill[i] >= width) return -1;
     const int64_t o = i * width + fill[i]++;
     out_cols[o] = static_cast<int32_t>(col[k]);
     out_re[o] = re[k];

@@ -211,7 +211,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         from .core.dynamic import solve_eigs_dynamic
         res: EigsResult = solve_eigs_dynamic(
             Aop, p, B=Mop, K=K, v0=v0j, ortho_const=oc, dtype=dtype,
-            has_precond=K is not None)
+            has_precond=K is not None, shard=shard, monitor=mon,
+            convtest=convtest)
     else:
         inner = None
         if p.max_inner_iterations != 0:

@@ -47,7 +47,8 @@ def _progress_score(cfg, resnorms, num_locked, anorm, eps):
 
 def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                        ortho_const=None, key=None, dtype=None,
-                       has_precond=None) -> EigsResult:
+                       has_precond=None, shard=None, monitor=None,
+                       convtest=None) -> EigsResult:
     """Eigensolve with runtime GD+k <-> JDQMR switching."""
     from .inner import jdqmr_inner_solve
 
@@ -72,13 +73,15 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     cfg_jd = make_config(p_jd)
     cfg, shifts, s = setup_solver(A, p_gd, B=B, v0=v0,
                                   ortho_const=ortho_const, key=key,
-                                  dtype=dtype)
+                                  dtype=dtype, shard=shard)
 
     runners = {
         "gd": jax.jit(lambda s, end: run_segment(
-            cfg_gd, A, B, K, None, shifts, s, end)),
+            cfg_gd, A, B, K, None, shifts, s, end,
+            monitor=monitor, convtest=convtest)),
         "jd": jax.jit(lambda s, end: run_segment(
-            cfg_jd, A, B, K, jdqmr_inner_solve, shifts, s, end)),
+            cfg_jd, A, B, K, jdqmr_inner_solve, shifts, s, end,
+            monitor=monitor, convtest=convtest)),
     }
 
     _snap = jax.jit(lambda s: prepare_window(

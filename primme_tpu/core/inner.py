@@ -24,9 +24,11 @@ Differences from the C implementation, by design:
 * The left/right projector configurations follow ``setup_JD_projectors``
   (``src/eigs/correction.c:862-997``): LeftQ/LeftX pick the left
   projectors; RightX(+SkewX+precond) selects the K^{-1}Bx skew projector
-  in the preconditioner; RightQ uses the B-evecs projector (the SkewQ
-  variant with the UDU-factorized M = Q'K^{-1}BQ is approximated by the
-  non-skew projector for now).
+  in the preconditioner; RightQ uses the B-evecs projector, or — with
+  SkewQ + a preconditioner (JDQR) — the skew projector
+  (I - Qhat M^{-1} Q^H), Qhat = K^{-1}BQ, with the small M = Q^H Qhat
+  LU-factorized once per outer iteration (the reference's UDU,
+  ``src/eigs/factorize.c:83-183``).
 """
 
 from __future__ import annotations
@@ -85,6 +87,22 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
     has_lockedQ = cfg.locking or cfg.noc > 0
     Q, BQ = s.evecs, s.Bevecs
 
+    # --- skew-Q projector state (factorize.c:83-183) ------------------------
+    # When SkewQ and a preconditioner are set (JDQR), the right projector on
+    # the preconditioner is the *skew* projector (I - Qhat M^{-1} Q^H) with
+    # Qhat = K^{-1} B Q and M = Q^H Qhat (``update_XKinvBX``,
+    # ``apply_skew_projector``, ``src/eigs/inner_solve.c:769``). The
+    # reference UDU-factorizes the small Hermitian-indefinite M (hetrf);
+    # here M is replicated and LU-factorized once per outer iteration.
+    skew_lu = None
+    Qhat = None
+    if cfg.skewQ and cfg.rightQ and K is not None and has_lockedQ:
+        nqm = Q.shape[1]
+        qmask = (jnp.arange(nqm) < (cfg.noc + s.num_locked))
+        Qhat = apply_precond(K, BQ, None) * qmask.astype(dtype)[None, :]
+        Mq = gram(Q, Qhat) + jnp.diag((~qmask).astype(dtype))
+        skew_lu = jax.scipy.linalg.lu_factor(Mq)
+
     # --- projected operator -------------------------------------------------
     def apply_A_proj(D):
         W = A.matmat(D)
@@ -108,7 +126,10 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
     def apply_K_proj(G):
         Y = apply_precond(K, G, shift) if K is not None else G
-        if cfg.rightQ and has_lockedQ:
+        if skew_lu is not None:
+            ov = gram(Q, Y)
+            Y = Y - bcomb(Qhat, jax.scipy.linalg.lu_solve(skew_lu, ov))
+        elif cfg.rightQ and has_lockedQ:
             Y = Y - bcomb(BQ, gram(Q, Y))
         if KinvBx is not None:
             ov = jnp.sum(X.conj() * Y, axis=0)

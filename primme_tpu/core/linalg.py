@@ -304,92 +304,142 @@ def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
 # src/eigs/solve_projection.c:430,541)
 # ---------------------------------------------------------------------------
 #
-# The reference maintains an incremental QR of (A - tau B) V (update_Q,
-# src/eigs/update_W.c:78) and runs SVD/eig on the R factor. The TPU-native
-# formulation instead maintains M = W^H W (one extra Gram panel per
-# expansion) and works with
-#
-#     G2(tau) = ((A-tau)V)^H ((A-tau)V) = M - tau (H + H^H) + tau^2 I ,
-#
-# so refined extraction is "smallest eigenvector of G2(tau_i)" per target
-# pair (vmapped small eigh, no QR state), and harmonic extraction is the
-# Hermitian-definite pencil  (H - tau I) h = mu G2(tau) h  reduced by
-# Cholesky (harmonic value theta = tau + 1/mu). This squares the
-# conditioning relative to the reference's QR (fine at f64; at f32 prefer
-# RR or looser tolerances).
+# Like the reference, extraction works from the R factor of the QR of the
+# shifted basis image (A - tau B) V  (``update_Q``,
+# ``src/eigs/update_W.c:78``): ||(A - tau B) V h|| = ||R h|| at the
+# conditioning of R itself (kappa), where a Gram/normal-equations
+# formulation would square it — the difference between resolving a
+# sigma ~ 1e-9 cluster at f64 and not. The TPU-native twist: instead of
+# maintaining Q/R incrementally across expansions/restarts/shift changes
+# (update_W.c + restart_refined's coefficient-space updates + the
+# recompute-on-shift-change logic), R is recomputed fresh each outer
+# iteration by one [n, mmax] Householder QR — W and BV are already
+# resident, the QR is a single fused XLA op, and there is no accumulated
+# drift or Q storage at all.
 
 
-def _g2_of_tau(H, M, tau, amask):
-    mmax = H.shape[0]
-    am2 = (amask[:, None] & amask[None, :])
-    Hm = jnp.where(am2, H, 0)
-    Mm = jnp.where(am2, M, 0)
-    t = tau.astype(H.dtype)
-    G2 = Mm - t * (Hm + _herm(Hm)) \
-        + (t * t.conj()) * jnp.diag(amask.astype(H.dtype))
-    return 0.5 * (G2 + _herm(G2))
-
-
-def solve_H_refined(H, M, b, target: Target, shifts, shift_idx):
-    """Refined extraction: per-pair shifts tau_i (the current Ritz values,
-    falling back to the target shift), each pair's coefficient vector being
-    the smallest eigenvector of G2(tau_i) — the minimizer of
-    ||(A - tau_i)Vh|| over unit h (``solve_H_Ref``,
-    ``src/eigs/solve_projection.c:541``; per-pair shift policy from
-    ``prepare_vecs:842``). Returns pairs in the Rayleigh-Ritz target
-    order with refined vectors and Rayleigh-quotient values."""
-    mmax = H.shape[0]
-    base = solve_H_rr(H, b, target, shifts, shift_idx)
+def shifted_qr_R(W, BV, b, tau):
+    """R factor of the QR of (A - tau B)V = W - tau BV over the active
+    columns. Inactive rows/cols of the result are exactly zero. ``W`` and
+    ``BV`` must have inactive columns exactly zero (the solver invariant).
+    """
+    S = W - tau.astype(W.dtype) * BV
+    mmax = S.shape[1]
+    R = jnp.linalg.qr(S, mode="r")
+    if R.shape[0] < mmax:     # n < mmax edge case: pad rows
+        R = jnp.concatenate(
+            [R, jnp.zeros((mmax - R.shape[0], mmax), R.dtype)], axis=0)
     amask = col_mask(mmax, b)
+    return jnp.where(amask[:, None] & amask[None, :], R, 0)
+
+
+def solve_H_refined(H, R, b, target: Target, shifts, shift_idx,
+                    anorm=None, conv_eps=None):
+    """Refined extraction (``solve_H_Ref``,
+    ``src/eigs/solve_projection.c:541`` + the cluster machinery of
+    ``prepare_vecs``, ``solve_projection.c:842``).
+
+    The refined vectors are the right singular vectors of R (minimizers of
+    ||(A - tau B) V h|| = ||R h|| over unit h), ordered by ascending
+    singular value for interior (closest_*) targets — the reference's
+    order — and by target keys on their Rayleigh quotients for extreme
+    targets. Within clusters of singular values too close to separate at
+    working precision (gap test from ``prepare_vecs:925-935``), the
+    individual singular vectors are arbitrary rotations of each other, so
+    the cluster is re-diagonalized by Rayleigh-Ritz on its span — done
+    jit-statically for ALL clusters at once via one eigh of the
+    block-diagonal (by cluster) compression of H.
+
+    ``anorm``/``conv_eps`` feed the cluster gap test (the accuracy the
+    singular vectors need vs the accuracy they have); ``None`` falls back
+    to a single-cluster (full RR) solve on the first iteration.
+    """
+    mmax = H.shape[0]
     rdt = real_dtype(H.dtype)
-    s0 = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
-    # NOTE: padded hvals use finfo.max (which IS finite) — select by the
-    # active mask, or pad taus poison G2 and the ramp scale.
-    taus = jnp.where(base.active, base.hvals, s0.astype(base.hvals.dtype))
-
-    # sentinel ramp above every per-pair G2(tau): bound ||G2(tau)|| by
-    # ||M|| + 2|tau| ||H|| + tau^2 over ALL shifts
-    tmax = jnp.max(jnp.where(base.active, jnp.abs(taus), 0.0))
-    scale = 2.0 * (jnp.max(jnp.abs(M)) + 2.0 * tmax * jnp.max(jnp.abs(H))
-                   + tmax * tmax) + 1.0
-    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
-
-    def one(tau):
-        G2 = _g2_of_tau(H, M, tau, amask)
-        G2 = G2 + jnp.diag(jnp.where(amask, 0, ramp)).astype(H.dtype)
-        w, Z = jnp.linalg.eigh(G2)
-        return Z[:, 0]
-
-    hv = jax.vmap(one)(taus).T                     # [mmax, mmax] columns
-    # Refined vectors from nearby shifts can coincide (unlike eigh's
-    # mutually orthogonal columns). Sequentially orthonormalize via QR: a
-    # (near-)duplicate column gets an orthonormal completion direction,
-    # whose large residual sends it back to the unconverged pool instead of
-    # producing a duplicate converged pair (the reference handles this via
-    # the "arbitrary vectors" machinery in ``prepare_vecs``,
-    # ``src/eigs/solve_projection.c:842``).
-    hv = hv * base.active.astype(H.dtype)[None, :]
-    # QR of exactly-zero (pad) columns produces NaN reflectors that
-    # contaminate every column; pads sort last, so substitute unit
-    # placeholder columns for them and re-zero afterwards.
-    hv = jnp.where(base.active[None, :], hv, jnp.eye(mmax, dtype=H.dtype))
-    hv = jnp.linalg.qr(hv)[0]
-    hv = hv * base.active.astype(H.dtype)[None, :]
-    # Rayleigh quotients of the refined vectors
-    Hm = jnp.where(amask[:, None] & amask[None, :], H, 0)
-    rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
-    nrm2 = jnp.real(jnp.sum(jnp.abs(hv) ** 2, axis=0))
-    rq = rq / jnp.maximum(nrm2, jnp.finfo(rdt).tiny)
     inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
-    hvals = jnp.where(base.active, rq, inf)
-    hv = hv * base.active.astype(H.dtype)[None, :]
-    return ProjectedSolution(hvals=hvals, hvecs=hv, active=base.active)
+    meps = machine_eps(H.dtype)
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    Hm = jnp.where(am2, H, 0)
+    Rm = jnp.where(am2, R, 0)
+    # decoupled sentinel ramp above the active spectrum for pad columns
+    scale = 2.0 * jnp.max(jnp.abs(Rm)) + 1.0
+    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
+    Rm = Rm + jnp.diag(jnp.where(amask, 0.0, ramp)).astype(H.dtype)
+    _, sv, Vh = jnp.linalg.svd(Rm)           # sv descending
+    hv = _herm(Vh)                            # columns = refined vectors
+    support_inactive = jnp.sum(
+        jnp.abs(hv) ** 2 * (~amask).astype(rdt)[:, None], axis=0)
+    is_pad = support_inactive > 0.5
+
+    # Rayleigh quotients of the (orthonormal) refined vectors
+    rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
+
+    # ---- primary order ---------------------------------------------------
+    if target in (Target.closest_abs, Target.closest_leq,
+                  Target.closest_geq):
+        keys = jnp.where(is_pad, inf, sv)     # ascending sigma
+    else:
+        keys = target_sort_keys(rq, target, shifts.astype(rdt), shift_idx)
+        keys = jnp.where(is_pad, inf, keys)
+    order = jnp.argsort(keys)
+    sv, hv, rq, is_pad = sv[order], hv[:, order], rq[order], is_pad[order]
+
+    # ---- cluster detection (prepare_vecs gap test) -----------------------
+    # sin(svec error) ~ sigma_max*macheps/dsigma must beat
+    # sin(evec needed) ~ anorm*eps/dlambda; join the cluster when it can't.
+    if anorm is None or conv_eps is None:
+        brk = jnp.zeros((mmax,), jnp.bool_).at[0].set(True)
+    else:
+        an = jnp.maximum(jnp.asarray(anorm, rdt), jnp.finfo(rdt).tiny)
+        ce = jnp.maximum(jnp.asarray(conv_eps, rdt), 6.28 * meps)
+        smax = jnp.max(jnp.where(is_pad, 0.0, sv))
+        dlam = jnp.abs(rq - jnp.roll(rq, 1))
+        min_diff = jnp.sqrt(2.0) * smax * meps * dlam / (an * ce)
+        dsv = jnp.abs(sv - jnp.roll(sv, 1))
+        brk = (dsv >= min_diff) | is_pad | jnp.roll(is_pad, 1)
+        brk = brk.at[0].set(True)
+    cid = jnp.cumsum(brk.astype(jnp.int32)) - 1
+
+    # ---- within-cluster Rayleigh-Ritz (all clusters via one eigh) --------
+    S = gram(hv, Hm @ hv)
+    S = 0.5 * (S + _herm(S))
+    same = (cid[:, None] == cid[None, :]) & \
+        (~is_pad[:, None]) & (~is_pad[None, :])
+    Sc = jnp.where(same, S, 0)
+    sscale = 2.0 * jnp.max(jnp.abs(Sc)) + 1.0
+    sramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * sscale
+    Sc = Sc + jnp.diag(jnp.where(is_pad, sramp, 0.0)).astype(H.dtype)
+    w, Z = jnp.linalg.eigh(Sc)
+    # Sc is exactly block-diagonal, so every eigenvector is supported on a
+    # single cluster; recover its cluster id from the support.
+    colw = jnp.abs(Z) ** 2
+    col_cid = jnp.sum(colw * cid.astype(rdt)[:, None], axis=0)
+    col_pad = jnp.sum(colw * is_pad.astype(rdt)[:, None], axis=0) > 0.5
+    hv2 = bcomb(hv, Z)
+
+    # final order: clusters keep their sigma rank; within a cluster sort by
+    # target keys of the RR values (solve_H_RR inside prepare_vecs)
+    tk = target_sort_keys(w, target, shifts.astype(rdt), shift_idx)
+    tk = jnp.where(col_pad, inf, tk)
+    ckey = jnp.where(col_pad, jnp.asarray(mmax + 1, rdt),
+                     jnp.round(col_cid))
+    order2 = jnp.lexsort((tk, ckey))
+    hv2 = hv2[:, order2]
+    w = w[order2]
+    col_pad = col_pad[order2]
+
+    hv2 = hv2 * (~col_pad).astype(H.dtype)[None, :]
+    hvals = jnp.where(col_pad, inf, w)
+    return ProjectedSolution(hvals=hvals, hvecs=hv2, active=~col_pad)
 
 
-def solve_H_harmonic(H, M, b, target: Target, shifts, shift_idx):
+def solve_H_harmonic(H, R, b, target: Target, shifts, shift_idx):
     """Harmonic Rayleigh-Ritz (``solve_H_Harm``,
     ``src/eigs/solve_projection.c:430``): solve the Hermitian-definite
-    pencil (H - tau I) h = mu G2(tau) h via Cholesky of G2; harmonic
+    pencil (H - tau I) h = mu ((A-tau)V)^H ((A-tau)V) h, whose right side
+    Gram factors EXACTLY as R^H R — so the Cholesky factor is R^H itself
+    (kappa(R) conditioning, never forming the squared Gram). Harmonic
     values theta = tau + 1/mu sorted by target; returned values are the
     Rayleigh quotients (as the reference computes hVals from H)."""
     mmax = H.shape[0]
@@ -398,12 +448,23 @@ def solve_H_harmonic(H, M, b, target: Target, shifts, shift_idx):
     am2 = amask[:, None] & amask[None, :]
     tau = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)].astype(rdt)
 
-    G2 = _g2_of_tau(H, M, tau, amask)
-    # Regularize: unit diagonal on inactive coords; small ridge for safety.
-    eps_r = jnp.asarray(100 * machine_eps(H.dtype), rdt)
-    ridge = eps_r * (jnp.max(jnp.real(jnp.diagonal(G2))) + 1.0)
-    G2 = G2 + jnp.diag(jnp.where(amask, ridge, 1.0)).astype(H.dtype)
-    L = jnp.linalg.cholesky(G2)
+    Rm = jnp.where(am2, R, 0)
+    # unit diagonal on inactive coords (decoupled pencil there)
+    Rm = Rm + jnp.diag(jnp.where(amask, 0.0, 1.0)).astype(H.dtype)
+    # Clamp a (near-)singular diagonal — the basis contains a vector with
+    # (A - tau B)v ~ 0 (a converged pair AT the shift). The reference's
+    # explicit-QtQ Cholesky regularizes the same way; kappa(R) stays
+    # bounded by ~1/(32 macheps).
+    meps = machine_eps(H.dtype)
+    d = jnp.diagonal(Rm)
+    mag = jnp.abs(d)
+    floor = 32.0 * meps * jnp.maximum(jnp.max(mag), jnp.finfo(rdt).tiny)
+    tiny = jnp.finfo(rdt).tiny
+    phase = jnp.where(mag > tiny, d / jnp.maximum(mag, tiny),
+                      jnp.ones((), H.dtype))
+    dnew = jnp.where(mag < floor, phase * floor.astype(H.dtype), d)
+    Rm = Rm + jnp.diag(dnew - d)
+    L = _herm(Rm)                            # lower; L L^H = R^H R = G2
     Hm = jnp.where(am2, H, 0) - tau.astype(H.dtype) * jnp.diag(
         amask.astype(H.dtype))
     # S = L^{-1} (H - tau I) L^{-H}
@@ -430,10 +491,15 @@ def solve_H_harmonic(H, M, b, target: Target, shifts, shift_idx):
     order = jnp.argsort(keys)
     hv = hv[:, order]
     is_pad = is_pad[order]
-    # normalize coefficient vectors to unit 2-norm (V-metric)
-    nrm = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.abs(hv) ** 2, axis=0)),
-                               jnp.finfo(rdt).tiny))
-    hv = hv / nrm[None, :].astype(H.dtype)
+    # Orthonormalize the coefficient vectors IN the harmonic order — the
+    # reference's ``Bortho_local`` after the R backsolve
+    # (``solve_projection.c:496``). hv = R^{-H}-transformed vectors can be
+    # nearly dependent when R is nearly singular (e.g. AV near
+    # rank-deficient late in a solve); QR gives dependent columns an orthonormal
+    # completion whose large residual sends them back to the unconverged
+    # pool instead of emitting a spurious near-zero Ritz vector.
+    hv = jnp.where((~is_pad)[None, :], hv, jnp.eye(mmax, dtype=H.dtype))
+    hv = jnp.linalg.qr(hv)[0]
     hv = hv * (~is_pad).astype(H.dtype)[None, :]
     Hm2 = jnp.where(am2, H, 0)
     rq = jnp.real(jnp.sum(hv.conj() * (Hm2 @ hv), axis=0))

@@ -42,7 +42,8 @@ from . import linalg as la
 from .linalg import (Candidates, bcomb, col_mask, gram, mask_cols,
                      real_dtype, machine_eps, solve_H_rr, solve_H_refined,
                      solve_H_harmonic, solve_H_normal, orthonormalize_coeffs,
-                     block_ortho, compute_residuals, target_sort_keys, _herm)
+                     block_ortho, compute_residuals, target_sort_keys, _herm,
+                     shifted_qr_R)
 
 
 
@@ -91,7 +92,6 @@ class SolverState(NamedTuple):
     BV: jax.Array
     # Replicated small dense state
     H: jax.Array                 # [mmax, mmax] projected matrix V^H A V
-    M: jax.Array                 # [mmax, mmax] W^H W (refined/harmonic only)
     b: jax.Array                 # traced basis size
     prev_hvecs: jax.Array        # [mmax, kmax] +k retention candidates
     # Locked pairs / ortho constraints: columns [0, noc) are user
@@ -231,7 +231,7 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
             # (the LOBPCG presets prescribe this)
             key, kr = jax.random.split(key)
             X = _rand_block(kr, n, blk, dtype)
-        if v0pad is not None and ngb > 1:
+        if v0pad is not None:
             gb = jax.lax.dynamic_slice(
                 v0pad, (_i32(0), _i32(jnp.minimum(bi, (ngb - 1) * blk))),
                 (n, blk))
@@ -252,12 +252,7 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     H = gram(V, W)  # inactive rows/cols exactly zero already
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
-    if cfg.projection == Projection.RR:
-        M = jnp.zeros((mmax, mmax), dtype)
-    else:
-        M = gram(W, W)
-        M = 0.5 * (M + _herm(M))
-    return V, W, BV, H, M, b, key, jnp.asarray(b0, jnp.int32), nrand
+    return V, W, BV, H, b, key, jnp.asarray(b0, jnp.int32), nrand
 
 
 # ---------------------------------------------------------------------------
@@ -288,10 +283,30 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
     if not cfg.hermitian:
         sol = solve_H_normal(s.H, s.b, cfg.target, shifts, sidx)
-    elif cfg.projection == Projection.refined:
-        sol = solve_H_refined(s.H, s.M, s.b, cfg.target, shifts, sidx)
-    elif cfg.projection == Projection.harmonic:
-        sol = solve_H_harmonic(s.H, s.M, s.b, cfg.target, shifts, sidx)
+    elif cfg.projection in (Projection.refined, Projection.harmonic):
+        # R factor of the QR of (A - tau B)V, recomputed fresh each outer
+        # iteration (see linalg.shifted_qr_R; replaces update_W.c:78's
+        # incremental Q/R maintenance)
+        tau = shifts[sidx]
+        R = shifted_qr_R(s.W, s.BV if has_B else s.V, s.b, tau)
+        if cfg.projection == Projection.refined:
+            rdt = real_dtype(s.V.dtype)
+            meps = machine_eps(s.V.dtype)
+            eps_c = cfg.eps if cfg.eps > 0 else 1e4 * meps
+            # cluster gap test inputs (prepare_vecs, solve_projection.c:
+            # 878-890): accuracy needed = max(maxConvTol achieved so far,
+            # smallestResNorm/10, ~macheps_orth)
+            big = jnp.asarray(jnp.finfo(rdt).max / 4, rdt)
+            sres = jnp.where(s.best_res < big, s.best_res / 10.0, 0.0)
+            conv_eps = jnp.maximum(jnp.maximum(s.stats.max_conv_tol, sres),
+                                   6.28 * meps)
+            an0 = jnp.maximum(s.stats.anorm_estimate,
+                              jnp.asarray(cfg.a_norm, rdt))
+            sol = solve_H_refined(s.H, R, s.b, cfg.target, shifts, sidx,
+                                  anorm=jnp.where(an0 > 0, an0, 0.0),
+                                  conv_eps=conv_eps)
+        else:
+            sol = solve_H_harmonic(s.H, R, s.b, cfg.target, shifts, sidx)
     else:
         sol = solve_H_rr(s.H, s.b, cfg.target, shifts, sidx)
     hv_c = sol.hvecs[:, :c]
@@ -318,6 +333,19 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
                         anorm_est) & is_target
     else:
         conv = (cands.resnorms <= tol) & is_target
+    if cfg.hermitian and cfg.target in (Target.closest_geq,
+                                        Target.closest_leq):
+        # Region filter (check_convergence, src/eigs/convergence.c:125-140):
+        # refined/sigma ordering ignores the leq/geq side, so never accept
+        # a pair whose value +- residual lies wholly outside the region.
+        sh = shifts[sidx].astype(cands.resnorms.dtype)
+        lv = jnp.real(jnp.where(active, hl_c, 0)).astype(
+            cands.resnorms.dtype)
+        if cfg.target == Target.closest_geq:
+            in_region = lv + cands.resnorms >= sh
+        else:
+            in_region = lv - cands.resnorms <= sh
+        conv = conv & in_region
     if cfg.locking or cfg.noc > 0:
         # "Practically converged" (check_practical_convergence,
         # src/eigs/convergence.c:238): locked pairs are only accurate to
@@ -505,12 +533,6 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
-    if cfg.projection == Projection.RR:
-        M = s.M
-    else:
-        M = gram(Cfull, jnp.matmul(s.M, Cfull,
-                                   precision=jax.lax.Precision.HIGHEST))
-        M = 0.5 * (M + _herm(M))
 
     # Accumulated-roundoff accounting (restart.c:425-440): after R
     # restarts the basis orthonormality / residual consistency has eroded
@@ -534,7 +556,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     # best residual of the *current* leading candidate, which changes
     # identity when a pair locks; the reset budget is per-target too.
     rinf = jnp.asarray(jnp.finfo(rdt).max, rdt)
-    s = s._replace(V=V, W=W, BV=BV, H=H, M=M, b=b_new,
+    s = s._replace(V=V, W=W, BV=BV, H=H, b=b_new,
                    prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                    evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
                    locked_res=locked_res, num_locked=num_locked,
@@ -566,10 +588,9 @@ def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     Hn = _dus(Hn, H, 0, 0)
     if cfg.hermitian:
         Hn = 0.5 * (Hn + _herm(Hn))
-    M = gram(W, W) if cfg.projection != Projection.RR else s.M
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + cfg.blk))
-    return s._replace(V=V, W=W, BV=BV, H=Hn, M=M, b=_i32(cfg.blk),
+    return s._replace(V=V, W=W, BV=BV, H=Hn, b=_i32(cfg.blk),
                       key=key, stats=stats)
 
 
@@ -671,20 +692,13 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # not the conjugate of the column panel
         hr = gram(ores.X, W)             # [blk, mmax]
         H = _dus(H, hr, s.b, 0)
-    if cfg.projection == Projection.RR:
-        M = s.M
-    else:
-        mc = gram(W, Y)
-        M = _dus(s.M, mc, 0, s.b)
-        M = _dus(M, _herm(mc), s.b, 0)
-
     stats = s.stats._replace(
         num_outer_iterations=_i32(s.stats.num_outer_iterations + 1),
         num_matvecs=_i32(s.stats.num_matvecs + nc + n_mv_inner),
         num_preconds=_i32(s.stats.num_preconds + n_prec),
         num_inner_iterations=_i32(s.stats.num_inner_iterations + n_inner),
         num_random=_i32(s.stats.num_random + ores.n_random))
-    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=_i32(s.b + nc),
+    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc),
                       prev_hvecs=prev, key=key, stats=stats)
 
 
@@ -719,11 +733,6 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     H = gram(V, W)
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
-    if cfg.projection != Projection.RR:
-        M = gram(W, W)
-        M = 0.5 * (M + _herm(M))
-    else:
-        M = s.M
     nkeep = _i32(jnp.sum(keep.astype(jnp.int32)))
     # compact surviving columns left
     order = jnp.argsort(jnp.arange(cfg.mmax, dtype=jnp.int32)
@@ -732,12 +741,11 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     W = W[:, order]
     BV = BV[:, order] if B is not None else V
     H = H[order][:, order]
-    M = M[order][:, order] if cfg.projection != Projection.RR else M
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + s.b),
         num_resets=_i32(s.stats.num_resets + 1),
         estimate_resid_error=jnp.zeros((), real_dtype(s.V.dtype)))
-    return s._replace(V=V, W=W, BV=BV, H=H, M=M, b=nkeep,
+    return s._replace(V=V, W=W, BV=BV, H=H, b=nkeep,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       best_res=jnp.asarray(jnp.finfo(
                           real_dtype(s.V.dtype)).max, real_dtype(s.V.dtype)),
@@ -786,7 +794,7 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         Bevecs0 = (jax.lax.with_sharding_constraint(Bevecs0, shard)
                    if B is not None else evecs0)
 
-    V, W, BV, H, M, b, key, nmv0, nrand0 = init_basis(
+    V, W, BV, H, b, key, nmv0, nrand0 = init_basis(
         A, B, cfg, key, evecs0, Bevecs0, v0, dtype)
     if shard is not None:
         V = jax.lax.with_sharding_constraint(V, shard)
@@ -799,7 +807,7 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
     stats = Stats.zeros(rdt)._replace(num_matvecs=nmv0,
                                       num_random=nrand0.astype(jnp.int32))
     s0 = SolverState(
-        V=V, W=W, BV=BV, H=H, M=M, b=b,
+        V=V, W=W, BV=BV, H=H, b=b,
         prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), dtype),
         evecs=evecs0, Bevecs=Bevecs0,
         locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,),

@@ -104,6 +104,8 @@ def coo_to_ell(n_rows: int, rows: np.ndarray, cols: np.ndarray,
                            cols64.ctypes.data_as(ctypes.c_void_p),
                            re.ctypes.data_as(ctypes.c_void_p),
                            None, 0, None, None, None)
+    if w < 0:
+        raise ValueError("coo_to_ell: row index out of bounds")
     out_cols = np.zeros((n_rows, w), np.int32)
     out_re = np.zeros((n_rows, w), np.float64)
     out_im = np.zeros((n_rows, w), np.float64) if cplx else None

@@ -133,6 +133,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
         raise ValueError(f"unknown svds method {method!r}")
 
     U = Vv = svals = resn = None
+    mv_stage1 = 0
     if stage1_op:
         Nop = _normal_op(Aop, use_ata)
         nn = Nop.shape[0]
@@ -170,9 +171,29 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
         inner1 = None
         if p1.max_inner_iterations != 0:
             from .core.inner import jdqmr_inner_solve as inner1
+
+        rdt1 = jnp.zeros((), Aop.dtype).real.dtype
+        meps1 = float(jnp.finfo(rdt1).eps)
+        eps1 = max(eps if eps > 0 else 1e4 * meps1, 3.16 * meps1)
+        an2_hint = aNorm * aNorm  # ||AtA|| = ||A||^2 when given
+
+        def conv_stage1(evals, resnorms, tol, anorm_est):
+            """Per-stage normal-equations convergence test
+            (``convTestFunATA``, ``src/svds/primme_svds_c.c:1640-1685``):
+            the eigen-residual of A^H A approximates sigma * (triplet
+            residual), so accept when resnorm/sigma < eps * ||A||, with a
+            machine-floor shortcut resnorm < 3.16 eps_mach ||A||^2 (the
+            best the squared operator can do)."""
+            aop = jnp.maximum(anorm_est, an2_hint)   # ~ ||A||^2
+            floor = resnorms < 3.16 * meps1 * jnp.maximum(aop, 1e-300)
+            sval = jnp.sqrt(jnp.maximum(jnp.abs(jnp.real(evals)), 0.0))
+            srn = resnorms / jnp.maximum(sval, jnp.finfo(rdt1).tiny)
+            return floor | (srn < eps1 * jnp.sqrt(jnp.maximum(aop, 0.0)))
+
         r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1,
-                        shard=shard)
+                        shard=shard, convtest=conv_stage1)
         merge_stats(r1.stats, "stage1")
+        mv_stage1 = int(np.asarray(r1.stats.num_matvecs))
 
         w = jnp.maximum(jnp.real(r1.evals), 0.0)
         svals = jnp.sqrt(w)
@@ -247,6 +268,13 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 eps=eps, max_block_size=maxBlockSize,
                 num_ortho_const=(len(conv_idx) if oc is not None else 0),
                 a_norm=anorm2, rng_seed=seed + 1)
+            if maxiter:
+                # stage 2 gets whatever the user budget has left after
+                # stage 1 (primme_svds_c.c caps primmeStage2.maxMatvecs
+                # by the remaining global budget)
+                p2 = p2.with_(max_matvecs=max(maxiter - mv_stage1, 1))
+            if ncv:
+                p2 = p2.with_(max_basis_size=ncv)
             if which != "LM":
                 # refined extraction works better than RR on the augmented
                 # operator for non-largest targets
@@ -262,8 +290,21 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             inner2 = None
             if p2.max_inner_iterations != 0:
                 from .core.inner import jdqmr_inner_solve as inner2
+
+            sq2f = float(np.sqrt(2.0))
+            eps2 = max(eps_eff, 3.16 * meps)
+
+            def conv_stage2(evals, resnorms, tol, anorm_est):
+                """Augmented-operator convergence test (``convTestFunAug``,
+                ``src/svds/primme_svds_c.c:1705-1743``): the triplet
+                residual is sqrt(2) x the augmented eigen-residual; no
+                machine-floor shortcut (never accept null-space
+                approximations of [[0, A^H], [A, 0]] as sigma ~ 0)."""
+                anormA = jnp.maximum(anorm_est, anorm2)
+                return resnorms * sq2f < eps2 * jnp.maximum(anormA, 1e-300)
+
             r2 = solve_eigs(Aug, p2, K=K2, v0=g2, ortho_const=oc,
-                            inner_solve=inner2)
+                            inner_solve=inner2, convtest=conv_stage2)
             merge_stats(r2.stats, "stage2")
 
             sv2 = jnp.abs(jnp.real(r2.evals))

@@ -279,9 +279,13 @@ def run_svds_config(path: str, base_dir: str = None,
     prec = {}
     if cfg.prec_choice == "jacobi":
         from .operators import JacobiPrecond
-        d = np.asarray(A.multiply(A.conj()).sum(axis=0)).ravel().real
+        tall = A.shape[0] >= A.shape[1]
+        # stage-1 operator is A^H A (n x n) when tall, A A^H (m x m) when
+        # wide: diag via column sums vs row sums of |a_ij|^2 respectively
+        d = np.asarray(A.multiply(A.conj()).sum(
+            axis=0 if tall else 1)).ravel().real
         K = JacobiPrecond(np.where(d < 1e-300, 1.0, d), use_shifts=False)
-        prec = {"precAHA": K} if A.shape[0] >= A.shape[1] else {"precAAH": K}
+        prec = {"precAHA": K} if tall else {"precAAH": K}
 
     # budget comparable to the reference's own consumption on these
     # configs (~140-160k matvecs on the smallest-target ones)
