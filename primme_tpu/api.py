@@ -48,7 +48,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           jacobi: Optional[bool] = None, raise_for_unconverged: bool = True,
           dtype: Any = None, seed: int = 0, projection: Any = None,
           return_history: bool = False, monitor: Any = None,
-          mesh: Any = None, convtest: Any = None, printLevel: int = 0):
+          mesh: Any = None, convtest: Any = None, printLevel: int = 0,
+          maxInnerIterations: Optional[int] = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -106,7 +107,6 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         p = p.with_(max_outer_iterations=int(maxiter))
     if maxMatvecs is not None:
         p = p.with_(max_matvecs=int(maxMatvecs))
-
     # Preconditioner: explicit OPinv wins; else Jacobi if requested/possible.
     K = None
     if OPinv is not None:
@@ -129,6 +129,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         p = p.with_(projection=projection)
     p = set_method(meth, p, has_precond=K is not None,
                    has_mass=Mop is not None)
+    if maxInnerIterations is not None:
+        p = p.with_(max_inner_iterations=int(maxInnerIterations))
 
     v0j = None
     if v0 is not None:
@@ -255,7 +257,7 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
          return_eigenvectors: bool = True, return_stats: bool = False,
          method: Optional[Any] = None, maxMatvecs: Optional[int] = None,
          OPinv: Any = None, raise_for_unconverged: bool = False,
-         seed: int = 0):
+         seed: int = 0, maxInnerIterations: Optional[int] = None):
     """Eigenpairs of a *normal* (non-Hermitian, A A^H = A^H A) operator —
     complex Ritz values. The analogue of the reference's
     ``dprimme_normal``/``zprimme_normal`` entry points
@@ -263,8 +265,10 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
     ``src/eigs/template_normal.h``). ``which`` in {'LM','SM','LR','SR'}
     ('SM' is closest to ``sigma`` in modulus).
 
-    GD-type corrections only (the JDQMR inner solver is Hermitian-only
-    for now)."""
+    GD-type corrections, or — for the JD presets (``method='JDQMR'`` etc.)
+    — an inner projected block-GMRES correction solver with complex
+    shifts (a capability the reference lacks: its ``inner_solve`` exists
+    only for the Hermitian kind, ``src/eigs/correction.c:464``)."""
     Aop = aslinearoperator(A)
     n = Aop.shape[0]
     wmap = {"LM": Target.largest_abs, "SM": Target.closest_abs,
@@ -291,8 +295,15 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
     if isinstance(meth, str):
         meth = Method[meth.replace("PRIMME_", "")]
     p = set_method(meth, p, has_precond=K is not None)
+    if maxInnerIterations is not None:
+        p = p.with_(max_inner_iterations=int(maxInnerIterations))
+    inner = None
     if p.max_inner_iterations != 0:
-        p = p.with_(max_inner_iterations=0)   # GD path only for normal ops
+        # JD inner-outer for normal operators: the reference has no such
+        # solver (``src/eigs/correction.c:464`` returns
+        # FUNCTION_UNAVAILABLE for KIND(N) + maxInnerIterations > 0); the
+        # TPU framework provides projected block GMRES with complex shifts.
+        from .core.inner import normal_inner_solve as inner
 
     v0j = None
     if v0 is not None:
@@ -300,7 +311,7 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
         if v0j.ndim == 1:
             v0j = v0j[:, None]
 
-    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt)
+    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt, inner_solve=inner)
 
     resnorms = np.asarray(res.resnorms)
     if raise_for_unconverged:

@@ -337,3 +337,169 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
                     R, sol)
     n_prec0 = jnp.sum(valid.astype(jnp.int32)) if K is not None else 0
     return sol, st.its, st.nmv, st.nprec + n_prec0
+
+
+def normal_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
+                       evals=None):
+    """Inner correction solver for *normal* (non-Hermitian) operators:
+    projected block GMRES(m) on
+
+        (I - x x^H)(A - sigma)(I - x x^H) s = -r ,   sigma complex.
+
+    The reference has no such solver — ``solve_correction`` returns
+    ``PRIMME_FUNCTION_UNAVAILABLE`` for JDQMR on the KIND(N) axis
+    (``src/eigs/correction.c:464``) — so this is a capability the TPU
+    framework adds: simultaneous Arnoldi over the block (one [n, blk]
+    matmat per step, batched small-dense updates on the VPU), least-squares
+    solve of the m-step Hessenberg systems at the end. Complex shifts come
+    straight from the complex Ritz values.
+
+    Interface matches :func:`jdqmr_inner_solve`.
+    """
+    from ..operators import apply_precond
+
+    n, blk = X.shape
+    dtype = X.dtype
+    rdt = real_dtype(dtype)
+    if evals is None:
+        evals = sigma
+    shift = jnp.where(jnp.isfinite(sigma) & valid, sigma, 0).astype(dtype)
+    vmaskf = valid.astype(dtype)[None, :]
+
+    has_lockedQ = cfg.locking or cfg.noc > 0
+    Q, BQ = s.evecs, s.Bevecs
+
+    def project(D):
+        if cfg.leftQ and has_lockedQ:
+            D = D - bcomb(Q, gram(Q, D))
+        if cfg.leftX:
+            D = D - X * jnp.sum(X.conj() * D, axis=0)[None, :]
+        return D
+
+    def prec(D):
+        # right preconditioning: GMRES runs on (A - sigma) K^{-1}, the
+        # solution is K^{-1} (V y). K is fixed, so no flexible variant
+        # is needed.
+        if K is None:
+            return D
+        return apply_precond(K, D, shift)
+
+    def op(D):
+        Z = prec(D)
+        return project(A.matmat(Z) - Z * shift[None, :])
+
+    m = cfg.max_inner if cfg.max_inner > 0 else 15
+    m = max(1, min(m, 64))
+
+    # Per-column adaptive stopping: reduce the GMRES residual to a tenth
+    # of the outer eigenresidual (the classic Jacobi-Davidson inner
+    # tolerance), floored at a third of the outer convergence tolerance
+    # so nearly-converged pairs are not over-solved.
+    itol = jnp.maximum(0.1 * res.astype(rdt), 0.33 * tol.astype(rdt))
+
+    # Arnoldi over the block: basis [m+1, n, blk]; the Hessenberg columns
+    # are rotated on the fly by complex Givens rotations into the upper-
+    # triangular Rm [m, m, blk] with rhs g [m+1, blk], so |g[i+1]| is the
+    # exact GMRES residual of column b after step i — frozen columns stop
+    # updating (static shapes; dead steps cost nothing extra per column).
+    V0 = project(-R * vmaskf)
+    beta = jnp.sqrt(jnp.maximum(_dots(V0, V0), 0.0))
+    ok = (beta > jnp.finfo(rdt).tiny) & valid
+    V0 = jnp.where(ok[None, :], V0 / jnp.maximum(
+        beta, jnp.finfo(rdt).tiny)[None, :].astype(dtype), 0)
+
+    Vk = jnp.zeros((m + 1, n, blk), dtype).at[0].set(V0)
+    Rm = jnp.zeros((m, m, blk), dtype)
+    g = jnp.zeros((m + 1, blk), dtype).at[0].set(beta.astype(dtype))
+    cs = jnp.zeros((m, blk), rdt)
+    sn = jnp.zeros((m, blk), dtype)
+    alive0 = ok
+    steps = jnp.zeros((blk,), jnp.int32)
+
+    def body(i, carry):
+        Vk, Rm, g, cs, sn, alive, steps = carry
+        w = op(Vk[i])
+        # two-pass classical Gram-Schmidt against all stored vectors
+        # (masked j <= i); einsum keeps it one fused contraction
+        jmask = (jnp.arange(m + 1) <= i)
+        h = jnp.zeros((m + 1, blk), dtype)
+        for _ in range(2):
+            hp = jnp.einsum("jnb,nb->jb", Vk.conj(), w,
+                            precision=jax.lax.Precision.HIGHEST)
+            hp = hp * jmask[:, None]
+            w = w - jnp.einsum("jnb,jb->nb", Vk, hp,
+                               precision=jax.lax.Precision.HIGHEST)
+            h = h + hp
+        hnorm = jnp.sqrt(jnp.maximum(_dots(w, w), 0.0))
+        good = (hnorm > jnp.finfo(rdt).tiny) & alive
+        w = jnp.where(good[None, :], w / jnp.maximum(
+            hnorm, jnp.finfo(rdt).tiny)[None, :].astype(dtype), 0)
+
+        # apply previous rotations j < i to the new column
+        def rot(j, h):
+            a, b_ = h[j], h[j + 1]
+            hj = cs[j].astype(dtype) * a + sn[j] * b_
+            hj1 = -sn[j].conj() * a + cs[j].astype(dtype) * b_
+            on = (j < i)
+            h = h.at[j].set(jnp.where(on, hj, a))
+            return h.at[j + 1].set(jnp.where(on, hj1, b_))
+        h = jax.lax.fori_loop(0, m, rot, h)
+
+        # new rotation zeroing the subdiagonal hnorm against a = h[i]:
+        # c = |a|/r (real), s = (a/|a|) b/r, rotated diag = c a + s b
+        a = h[i]
+        bb = hnorm
+        r_ = jnp.sqrt(jnp.abs(a) ** 2 + bb ** 2)
+        nz = r_ > jnp.finfo(rdt).tiny
+        rsafe = jnp.where(nz, r_, 1.0)
+        aun = jnp.where(jnp.abs(a) > jnp.finfo(rdt).tiny,
+                        a / jnp.abs(a).astype(dtype), 1.0)
+        ci = jnp.where(nz, jnp.abs(a) / rsafe, 1.0)
+        si = jnp.where(nz, aun * (bb / rsafe).astype(dtype), 0.0)
+        # rotate the rhs: g[i+1] = -conj(s) g[i]; g[i] = c g[i]
+        gi = g[i]
+        g = g.at[i + 1].set(jnp.where(alive, -si.conj() * gi, g[i + 1]))
+        g = g.at[i].set(jnp.where(alive, ci.astype(dtype) * gi, gi))
+
+        Rm = Rm.at[:, i, :].set(jnp.where(alive[None, :],
+                                          h[:m], Rm[:, i, :]))
+        Rm = Rm.at[i, i, :].set(jnp.where(
+            alive, ci.astype(dtype) * a + si * bb.astype(dtype),
+            Rm[i, i, :]))
+        cs = cs.at[i].set(jnp.where(alive, ci, cs[i]))
+        sn = sn.at[i].set(jnp.where(alive, si, sn[i]))
+        Vk = Vk.at[i + 1].set(jnp.where(alive[None, :], w, Vk[i + 1]))
+        steps = steps + alive.astype(jnp.int32)
+        resid = jnp.abs(g[i + 1])
+        alive = alive & good & (resid > itol)
+        return Vk, Rm, g, cs, sn, alive, steps
+
+    Vk, Rm, g, cs, sn, alive, steps = jax.lax.fori_loop(
+        0, m, body, (Vk, Rm, g, cs, sn, alive0, steps))
+
+    # y per column: backsolve the triangular system over the steps taken;
+    # untouched trailing columns of Rm are zero — give them unit diagonal
+    # so the solve is well-posed and yields y = 0 there.
+    used = (jnp.arange(m)[:, None] < steps[None, :])
+    diagmag = jnp.abs(jnp.einsum("iib->ib", Rm))
+    # unit diagonal on unused (or numerically dead) positions -> y = 0 there
+    fix = (~used) | (diagmag < jnp.finfo(rdt).tiny)
+    Rsolve = Rm + jnp.eye(m, dtype=dtype)[:, :, None] \
+        * fix.astype(dtype)[None, :, :]
+    gm = jnp.where(used, g[:m], 0)
+
+    y = jax.vmap(lambda Rc, gc: jax.scipy.linalg.solve_triangular(
+        Rc, gc, lower=False), in_axes=(2, 1), out_axes=1)(Rsolve, gm)
+    y = jnp.where(used, y, 0)
+    sol = jnp.einsum("jnb,jb->nb", Vk[:m], y,
+                     precision=jax.lax.Precision.HIGHEST)
+    sol = prec(sol)
+    sol = sol * vmaskf
+    solnorm = jnp.sqrt(_dots(sol, sol))
+    sol = jnp.where((solnorm < jnp.finfo(rdt).tiny)[None, :] & (vmaskf != 0),
+                    R, sol)
+    nmv = jnp.sum(steps).astype(jnp.int32)
+    nprec = (nmv + jnp.sum(valid.astype(jnp.int32))
+             if K is not None else jnp.zeros((), jnp.int32))
+    return (sol, jnp.max(steps).astype(jnp.int32), nmv,
+            jnp.asarray(nprec, jnp.int32))

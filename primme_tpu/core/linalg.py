@@ -333,7 +333,145 @@ def shifted_qr_R(W, BV, b, tau):
     return jnp.where(amask[:, None] & amask[None, :], R, 0)
 
 
-def solve_H_refined(H, R, b, target: Target, shifts, shift_idx,
+def complement_qr_R(V, W, H, b):
+    """R factor (m x m) of the QR of D = W - V H, the component of W = AV
+    orthogonal to the (2-orthonormal) basis V. Together with H this gives
+    an EXACT per-shift residual norm at kappa (not kappa^2) conditioning:
+
+        ||(A - tau) V h||^2 = ||(H - tau I) h||^2 + ||G h||^2
+
+    because (A - tau)V = V (H - tau I) + Qp G with Qp = orth(D) and
+    Qp perpendicular to V. This replaces the reference's incremental
+    QR of the full-height (A - tau B)V (``update_W.c:78``) with one
+    [n, m] panel QR per outer iteration and NO per-shift tall work.
+    Standard problems only (V must be 2-orthonormal, B = I)."""
+    mmax = W.shape[1]
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    Hm = jnp.where(am2, H, 0)
+    D = W - bcomb(V, Hm)
+    G = jnp.linalg.qr(D, mode="r")
+    if G.shape[0] < mmax:
+        G = jnp.concatenate(
+            [G, jnp.zeros((mmax - G.shape[0], mmax), G.dtype)], axis=0)
+    return jnp.where(am2, G, 0)
+
+
+def solve_H_refined(H, G, b, target: Target, shifts, shift_idx,
+                    anorm=None, conv_eps=None):
+    """Refined extraction (``solve_H_Ref``,
+    ``src/eigs/solve_projection.c:541`` + the cluster machinery of
+    ``prepare_vecs``, ``solve_projection.c:842``).
+
+    Per-pair refinement at exact kappa conditioning: for each target pair
+    the coefficient vector minimizes ||(A - tau_i)V h|| over unit h with
+    tau_i its own Rayleigh-Ritz value — the smallest right singular
+    vector of the stacked [2m, m] matrix [H - tau_i I; G] (see
+    :func:`complement_qr_R`), one small vmapped SVD per pair. Pairs keep
+    the Rayleigh-Ritz target order; near-duplicate refined vectors from
+    clustered shifts are sequentially orthonormalized (the reference's
+    "arbitrary vectors" handling) and then re-diagonalized per cluster by
+    one block-diagonal eigh (``prepare_vecs`` gap test: a cluster is a
+    run of pairs whose singular vectors cannot be separated at working
+    precision given the accuracy the eigenvectors need).
+
+    ``anorm``/``conv_eps`` feed the cluster gap test; ``None`` disables
+    clustering (first iteration).
+    """
+    mmax = H.shape[0]
+    rdt = real_dtype(H.dtype)
+    inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    meps = machine_eps(H.dtype)
+    amask = col_mask(mmax, b)
+    am2 = amask[:, None] & amask[None, :]
+    Hm = jnp.where(am2, H, 0)
+    Gm = jnp.where(am2, G, 0)
+
+    base = solve_H_rr(H, b, target, shifts, shift_idx)
+    s0 = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
+    taus = jnp.where(base.active, jnp.where(
+        jnp.isfinite(base.hvals), base.hvals, 0), s0.astype(base.hvals.dtype))
+
+    # sentinel ramp above every per-pair spectrum for the pad columns
+    tmax = jnp.max(jnp.where(base.active, jnp.abs(taus), 0.0))
+    scale = 2.0 * (jnp.max(jnp.abs(Hm)) + jnp.max(jnp.abs(Gm)) + tmax) + 1.0
+    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
+
+    def one(tau):
+        top = Hm - tau.astype(H.dtype) * jnp.diag(amask.astype(H.dtype))
+        top = top + jnp.diag(jnp.where(amask, 0.0, ramp)).astype(H.dtype)
+        C = jnp.concatenate([top, Gm], axis=0)          # [2m, m]
+        _, sv, Vh = jnp.linalg.svd(C, full_matrices=False)
+        return Vh[-1].conj(), sv[-1]                    # smallest pair
+
+    hv, smin = jax.vmap(one)(taus)
+    hv = hv.T                                            # [mmax, mmax] cols
+    hv = hv * base.active.astype(H.dtype)[None, :]
+
+    # Sequential orthonormalization in target order: a duplicate column
+    # (clustered tau) gets an orthonormal completion whose large residual
+    # sends it back to the unconverged pool (prepare_vecs arbitrary
+    # vectors). Pads are substituted by identity columns for the QR and
+    # re-zeroed after.
+    hv = jnp.where(base.active[None, :], hv, jnp.eye(mmax, dtype=H.dtype))
+    hv = jnp.linalg.qr(hv)[0]
+    hv = hv * base.active.astype(H.dtype)[None, :]
+
+    # Rayleigh quotients of the (orthonormal) refined vectors
+    rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
+    is_pad = ~base.active
+
+    # ---- cluster detection (prepare_vecs gap test) -----------------------
+    # sin(svec error) ~ sigma_max*macheps/dsigma must beat
+    # sin(evec needed) ~ anorm*eps/dlambda; join the cluster when it can't.
+    if anorm is None or conv_eps is None:
+        brk = jnp.ones((mmax,), jnp.bool_)
+    else:
+        an = jnp.maximum(jnp.asarray(anorm, rdt), jnp.finfo(rdt).tiny)
+        ce = jnp.maximum(jnp.asarray(conv_eps, rdt), 6.28 * meps)
+        smax = jnp.max(jnp.where(is_pad, 0.0, jnp.abs(taus))) \
+            + jnp.max(jnp.abs(Gm))
+        dlam = jnp.abs(rq - jnp.roll(rq, 1))
+        min_diff = jnp.sqrt(2.0) * smax * meps * dlam / (an * ce)
+        dsv = jnp.abs(smin - jnp.roll(smin, 1))
+        brk = (dsv >= min_diff) | is_pad | jnp.roll(is_pad, 1)
+        brk = brk.at[0].set(True)
+    cid = jnp.cumsum(brk.astype(jnp.int32)) - 1
+
+    # ---- within-cluster Rayleigh-Ritz (all clusters via one eigh) --------
+    S = gram(hv, Hm @ hv)
+    S = 0.5 * (S + _herm(S))
+    same = (cid[:, None] == cid[None, :]) & \
+        (~is_pad[:, None]) & (~is_pad[None, :])
+    Sc = jnp.where(same, S, 0)
+    sscale = 2.0 * jnp.max(jnp.abs(Sc)) + 1.0
+    sramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * sscale
+    Sc = Sc + jnp.diag(jnp.where(is_pad, sramp, 0.0)).astype(H.dtype)
+    w, Z = jnp.linalg.eigh(Sc)
+    # Sc is exactly block-diagonal, so every eigenvector is supported on a
+    # single cluster; recover its cluster id from the support.
+    colw = jnp.abs(Z) ** 2
+    col_cid = jnp.sum(colw * cid.astype(rdt)[:, None], axis=0)
+    col_pad = jnp.sum(colw * is_pad.astype(rdt)[:, None], axis=0) > 0.5
+    hv2 = bcomb(hv, Z)
+
+    # final order: clusters keep their (target-ordered) position; within a
+    # cluster sort by target keys of the RR values
+    tk = target_sort_keys(w, target, shifts.astype(rdt), shift_idx)
+    tk = jnp.where(col_pad, inf, tk)
+    ckey = jnp.where(col_pad, jnp.asarray(mmax + 1, rdt),
+                     jnp.round(col_cid))
+    order2 = jnp.lexsort((tk, ckey))
+    hv2 = hv2[:, order2]
+    w = w[order2]
+    col_pad = col_pad[order2]
+
+    hv2 = hv2 * (~col_pad).astype(H.dtype)[None, :]
+    hvals = jnp.where(col_pad, inf, w)
+    return ProjectedSolution(hvals=hvals, hvecs=hv2, active=~col_pad)
+
+
+def solve_H_refined_shift(H, R, b, target: Target, shifts, shift_idx,
                     anorm=None, conv_eps=None):
     """Refined extraction (``solve_H_Ref``,
     ``src/eigs/solve_projection.c:541`` + the cluster machinery of

@@ -104,6 +104,7 @@ class SolverState(NamedTuple):
     # stagnation / reset tracking (main_iter.c:853-896 reset machinery)
     best_res: jax.Array          # best leading-candidate residual seen
     stall_restarts: jax.Array    # restarts without sufficient progress
+    restarts_since_reset: jax.Array  # drives estimateResidualError (restart.c:437)
     # control
     key: jax.Array
     done: jax.Array
@@ -283,30 +284,32 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
     if not cfg.hermitian:
         sol = solve_H_normal(s.H, s.b, cfg.target, shifts, sidx)
+    elif cfg.projection == Projection.refined and not has_B:
+        rdt = real_dtype(s.V.dtype)
+        meps = machine_eps(s.V.dtype)
+        # cluster gap test inputs (prepare_vecs, solve_projection.c:
+        # 878-890): accuracy needed = max(maxConvTol achieved so far,
+        # smallestResNorm/10, ~macheps_orth)
+        big = jnp.asarray(jnp.finfo(rdt).max / 4, rdt)
+        sres = jnp.where(s.best_res < big, s.best_res / 10.0, 0.0)
+        conv_eps = jnp.maximum(jnp.maximum(s.stats.max_conv_tol, sres),
+                               6.28 * meps)
+        an0 = jnp.maximum(s.stats.anorm_estimate,
+                          jnp.asarray(cfg.a_norm, rdt))
+        an0 = jnp.where(an0 > 0, an0, 0.0)
+        # per-pair refined at exact kappa conditioning from one
+        # complement-panel QR (see linalg.complement_qr_R): each
+        # pair refines at its own Rayleigh-Ritz value
+        G = la.complement_qr_R(s.V, s.W, s.H, s.b)
+        sol = solve_H_refined(s.H, G, s.b, cfg.target, shifts, sidx,
+                              anorm=an0, conv_eps=conv_eps)
     elif cfg.projection in (Projection.refined, Projection.harmonic):
-        # R factor of the QR of (A - tau B)V, recomputed fresh each outer
-        # iteration (see linalg.shifted_qr_R; replaces update_W.c:78's
-        # incremental Q/R maintenance)
+        # Harmonic (or refined with a mass matrix, which the reference
+        # rejects outright, primme_c.c:519 ret -39 — served by harmonic
+        # here): R factor of the QR of (A - tau B)V, fresh each iteration
         tau = shifts[sidx]
         R = shifted_qr_R(s.W, s.BV if has_B else s.V, s.b, tau)
-        if cfg.projection == Projection.refined:
-            rdt = real_dtype(s.V.dtype)
-            meps = machine_eps(s.V.dtype)
-            eps_c = cfg.eps if cfg.eps > 0 else 1e4 * meps
-            # cluster gap test inputs (prepare_vecs, solve_projection.c:
-            # 878-890): accuracy needed = max(maxConvTol achieved so far,
-            # smallestResNorm/10, ~macheps_orth)
-            big = jnp.asarray(jnp.finfo(rdt).max / 4, rdt)
-            sres = jnp.where(s.best_res < big, s.best_res / 10.0, 0.0)
-            conv_eps = jnp.maximum(jnp.maximum(s.stats.max_conv_tol, sres),
-                                   6.28 * meps)
-            an0 = jnp.maximum(s.stats.anorm_estimate,
-                              jnp.asarray(cfg.a_norm, rdt))
-            sol = solve_H_refined(s.H, R, s.b, cfg.target, shifts, sidx,
-                                  anorm=jnp.where(an0 > 0, an0, 0.0),
-                                  conv_eps=conv_eps)
-        else:
-            sol = solve_H_harmonic(s.H, R, s.b, cfg.target, shifts, sidx)
+        sol = solve_H_harmonic(s.H, R, s.b, cfg.target, shifts, sidx)
     else:
         sol = solve_H_rr(s.H, s.b, cfg.target, shifts, sidx)
     hv_c = sol.hvecs[:, :c]
@@ -325,14 +328,15 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     # src/eigs/convergence.c:105-146, restart.c:434).
     tol = jnp.maximum(_tolerance(cfg, anorm), s.stats.max_conv_tol)
     n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32) - s.num_locked.astype(jnp.int32))
-    is_target = (jnp.arange(c) < n_needed) & active
     if convtest is not None:
         # User convergence test (convTestFun, include/primme_eigs.h:245):
         # fn(evals [c], resnorms [c], tol, anorm_estimate) -> bool [c].
-        conv = convtest(jnp.where(active, hl_c, 0), cands.resnorms, tol,
-                        anorm_est) & is_target
+        passes = convtest(jnp.where(active, hl_c, 0), cands.resnorms, tol,
+                          anorm_est)
     else:
-        conv = (cands.resnorms <= tol) & is_target
+        passes = cands.resnorms <= tol
+    is_target = (jnp.arange(c) < n_needed) & active
+    conv = passes & is_target
     if cfg.hermitian and cfg.target in (Target.closest_geq,
                                         Target.closest_leq):
         # Region filter (check_convergence, src/eigs/convergence.c:125-140):
@@ -541,6 +545,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     # floor to the residuals actually achieved by locked pairs
     # (restart.c:616-629).
     meps_r = machine_eps(s.V.dtype)
+    rsr = s.restarts_since_reset + 1
     nres = s.stats.num_restarts + 1
     anorm_r = jnp.maximum(s.stats.anorm_estimate, 1e-30)
     drift = jnp.sqrt(nres.astype(anorm_r.dtype)) * meps_r * anorm_r
@@ -561,6 +566,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
                    evecs=evecs, Bevecs=Bevecs, locked_vals=locked_vals,
                    locked_res=locked_res, num_locked=num_locked,
                    best_res=jnp.where(nl > 0, rinf, s.best_res),
+                   restarts_since_reset=_i32(rsr),
                    stall_restarts=jnp.where(nl > 0, 0,
                                             s.stall_restarts).astype(jnp.int32),
                    stats=stats._replace(num_resets=_i32(jnp.where(
@@ -749,6 +755,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       best_res=jnp.asarray(jnp.finfo(
                           real_dtype(s.V.dtype)).max, real_dtype(s.V.dtype)),
+                      restarts_since_reset=jnp.zeros((), jnp.int32),
                       stall_restarts=jnp.zeros((), jnp.int32), stats=stats)
 
 
@@ -815,6 +822,7 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         num_locked=jnp.zeros((), jnp.int32),
         best_res=jnp.asarray(jnp.finfo(rdt).max, rdt),
+        restarts_since_reset=jnp.zeros((), jnp.int32),
         stall_restarts=jnp.zeros((), jnp.int32), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
     return cfg, shifts, s0
@@ -849,10 +857,9 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
         # reference triggers reset from its accumulated-error estimate,
         # main_iter.c:855-884; explicit stagnation tracking is the jit-
         # friendly equivalent).
-        cur_res = jnp.min(jnp.where(
-            win.conv | ~win.is_target | ~win.sol.active[:cfg.cwin],
-            jnp.asarray(jnp.finfo(win.tol.dtype).max, win.tol.dtype),
-            win.cands.resnorms))
+        rinf_t = jnp.asarray(jnp.finfo(win.tol.dtype).max, win.tol.dtype)
+        unconv_t = ~win.conv & win.is_target & win.sol.active[:cfg.cwin]
+        cur_res = jnp.min(jnp.where(unconv_t, win.cands.resnorms, rinf_t))
         # true stalls plateau bit-exactly (accumulated-roundoff floors),
         # while slow-but-healthy configs (e.g. maxBasisSize=3) still gain
         # fractions of a percent per restart — use a 0.1% bar

@@ -149,12 +149,11 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                           a_norm=aNorm * aNorm if aNorm > 0 else 0.0,
                           rng_seed=seed)
         if maxiter:
-            # stage 1's job is the invariant subspace, not full accuracy;
-            # smallest-target normal equations can burn unbounded matvecs
-            # grinding on sigma^2-scale clusters it cannot resolve, so it
-            # gets the smaller share (the augmented stage refines)
-            share = 4 if which != "LM" else 2
-            p1 = p1.with_(max_matvecs=maxiter // share)
+            # stage 1 gets half the budget, stage 2 the remainder
+            # (copy_last_params_from_svds: primme->maxMatvecs =
+            # primme_svds->maxMatvecs / 2 for stage 0,
+            # src/svds/primme_svds_c.c:677-681)
+            p1 = p1.with_(max_matvecs=maxiter // 2)
         meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
         if isinstance(meth1, str):
             meth1 = Method[meth1.replace("PRIMME_", "")]

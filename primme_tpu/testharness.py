@@ -70,7 +70,10 @@ def parse_config(path: str) -> TestConfig:
         elif k == "driver.shift":
             cfg.shift = float(v)
         elif k == "method":
-            cfg.method = Method[v.replace("PRIMME_", "")]
+            # svds drivers use 'method = primme_svds_*' (consumed by
+            # run_svds_config); only eigs preset names map to Method
+            if not v.startswith("primme_svds"):
+                cfg.method = Method[v.replace("PRIMME_", "")]
         elif k.startswith("primme.") or k.startswith("primme_svds."):
             cfg.fields[k.split(".", 1)[1]] = v
     return cfg
@@ -288,9 +291,9 @@ def run_svds_config(path: str, base_dir: str = None,
         prec = {"precAHA": K} if tall else {"precAAH": K}
 
     # budget comparable to the reference's own consumption on these
-    # configs (~140-160k matvecs on the smallest-target ones)
+    # configs (measured: 136k matvecs on test_203, 162k on test_204)
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
-                           maxiter=120000, **prec)
+                           maxiter=250000, **prec)
     out = CheckResult()
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     anorm = sref[0]
