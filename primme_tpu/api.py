@@ -85,10 +85,22 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         raise ValueError(f"k={k} out of range for n={n}")
 
     Mop = aslinearoperator(M) if M is not None else None
-    which = which.upper()
-    if which not in _WHICH_TO_TARGET:
-        raise ValueError(f"which must be one of {sorted(_WHICH_TO_TARGET)}")
-    target = _WHICH_TO_TARGET[which]
+    if isinstance(which, str) and which.upper() in _WHICH_TO_TARGET:
+        which = which.upper()
+        target = _WHICH_TO_TARGET[which]
+    else:
+        # reference parity (primme.pyx:530-538): a numeric `which` means
+        # "eigenvalues closest to this value" (closest_abs) and doubles
+        # as sigma; giving both is an error
+        try:
+            sigma0 = float(which)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"which must be one of {sorted(_WHICH_TO_TARGET)} or a "
+                f"number, got {which!r}")
+        if sigma is not None:
+            raise ValueError("give a numeric `which` or `sigma`, not both")
+        sigma, which, target = sigma0, "SM", Target.closest_abs
     shifts = ()
     if target not in (Target.smallest, Target.largest):
         shifts = (float(sigma) if sigma is not None else 0.0,)

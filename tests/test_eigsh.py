@@ -60,6 +60,21 @@ def test_interior(tridiag):
     assert_close(vals, expect)
 
 
+def test_numeric_which(tridiag):
+    """Reference parity (primme.pyx:530-538): a numeric `which` targets
+    eigenvalues closest to that value; combining it with sigma is an
+    error."""
+    A, ref = tridiag
+    vals, _ = eigsh(A, k=3, which=50.0, tol=1e-9,
+                    method=Method.GD_plusK, raise_for_unconverged=False)
+    expect = ref[np.argsort(np.abs(ref - 50.0))][:3]
+    assert_close(vals, expect)
+    with pytest.raises(ValueError):
+        eigsh(A, k=3, which=50.0, sigma=1.0)
+    with pytest.raises(ValueError):
+        eigsh(A, k=3, which="bogus")
+
+
 def test_complex_hermitian():
     rng = np.random.default_rng(3)
     n = 150
