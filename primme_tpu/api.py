@@ -240,6 +240,10 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     anorm = float(res.stats.anorm_estimate)
     eps_eff = p.eps if p.eps > 0 else 1e4 * float(
         jnp.finfo(res.evals.dtype).eps)
+    if dtype is not None and jnp.dtype(dtype) in (
+            jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        # half-precision basis cannot resolve residuals below storage eps
+        eps_eff = max(eps_eff, 4 * float(jnp.finfo(jnp.dtype(dtype)).eps))
     unconv = int(np.sum(resnorms > 10 * max(eps_eff * max(anorm, 1e-300),
                                             1e-300)))
     if unconv > 0 and raise_for_unconverged:

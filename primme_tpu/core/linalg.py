@@ -42,6 +42,20 @@ def machine_eps(dtype) -> float:
     return float(jnp.finfo(real_dtype(dtype)).eps)
 
 
+_LOW_PREC = (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16))
+
+
+def compute_dtype(dtype) -> jnp.dtype:
+    """Accumulation/compute dtype for a given storage dtype. Half-precision
+    basis storage (bf16 — the TPU-native dtype — or f16) computes in f32:
+    the MXU consumes bf16 operands and accumulates in f32 natively, so
+    Gram products off a bf16 basis are f32-accurate for free. This is the
+    TPU shape of the reference's half-precision kind, whose dense kernels
+    also accumulate in float (``src/include/template_types.h:40-150``)."""
+    dt = jnp.dtype(dtype)
+    return jnp.dtype(jnp.float32) if dt in _LOW_PREC else dt
+
+
 def _herm(X):
     return X.conj().swapaxes(-1, -2)
 
@@ -59,18 +73,23 @@ def mask_cols(X: jax.Array, active: jax.Array) -> jax.Array:
 def gram(X: jax.Array, Y: jax.Array) -> jax.Array:
     """X^H Y at full accumulation precision. Orthogonality hinges on these
     inner products, so on TPU we force HIGHEST (multi-pass f32) rather than
-    the default bf16-pass matmul. Under row-sharding XLA turns this into a
+    the default bf16-pass matmul; half-precision operands accumulate into
+    f32 (one native MXU pass). Under row-sharding XLA turns this into a
     local gemm + all-reduce (the reference's gemm + ``globalSum``,
     ``src/eigs/update_projection.c:136``)."""
-    return jnp.matmul(_herm(X), Y, preferred_element_type=X.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+    cd = compute_dtype(jnp.result_type(X.dtype, Y.dtype))
+    return jnp.matmul(_herm(X), Y, preferred_element_type=cd,
+                      precision=jax.lax.Precision.HIGHEST).astype(cd)
 
 
 def bcomb(V: jax.Array, C: jax.Array) -> jax.Array:
     """Basis combination V @ C at HIGHEST precision (used for basis updates,
-    where low-precision drift would break orthonormality)."""
-    return jnp.matmul(V, C, preferred_element_type=V.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+    where low-precision drift would break orthonormality). Half-precision
+    operands produce f32 output — rounding back to storage precision is the
+    caller's store-time decision."""
+    cd = compute_dtype(jnp.result_type(V.dtype, C.dtype))
+    return jnp.matmul(V, C, preferred_element_type=cd,
+                      precision=jax.lax.Precision.HIGHEST).astype(cd)
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +150,11 @@ def block_ortho(X: jax.Array,
     V, BV = basis
     n = X.shape[0]
     rdt = real_dtype(X.dtype)
-    meps = machine_eps(X.dtype)
+    # Dependence is tested at the *storage* precision of the basis: a
+    # column projected against a half-precision V retains ~eps(bf16) of
+    # junk even when fully dependent, so the Daniel's-test floor must use
+    # the coarser eps.
+    meps = max(machine_eps(X.dtype), machine_eps(V.dtype))
 
     def project_out(X, BX):
         ov = gram(BV, X)              # [mmax, bs]; inactive rows exactly 0
@@ -237,18 +260,34 @@ class ProjectedSolution(NamedTuple):
 
 
 def solve_H_rr(H: jax.Array, b: jax.Array, target: Target,
-               shifts: jax.Array, shift_idx: jax.Array) -> ProjectedSolution:
+               shifts: jax.Array, shift_idx: jax.Array,
+               G: Optional[jax.Array] = None) -> ProjectedSolution:
     """Rayleigh-Ritz on the active ``b x b`` block of ``H`` under static
     shapes (``solve_H_RR``, ``src/eigs/solve_projection.c:188``).
 
     The inactive diagonal is filled with a decoupled sentinel ramp; after
     ``eigh`` the sentinel pairs are identified by eigenvector support (not
     by value — robust whatever the spectrum) and sorted last.
+
+    ``G`` is the explicit Gram matrix V^H B V of the basis (the
+    reference's ``orth=explicit_I`` path, ``src/eigs/primme_c.c:304-319``):
+    with a half-precision basis V is orthonormal only to storage eps, so
+    the projected problem is the *generalized* pencil H y = theta G y,
+    whitened here through the Cholesky factor of G (G is a small
+    perturbation of I, so the factorization is benign).
     """
     mmax = H.shape[0]
     amask = col_mask(mmax, b)
     am2 = amask[:, None] & amask[None, :]
     Hm = jnp.where(am2, H, 0)
+    if G is not None:
+        Gm = jnp.where(am2, G, 0)
+        Gm = 0.5 * (Gm + _herm(Gm)) + jnp.diag(
+            jnp.where(amask, 0.0, 1.0)).astype(H.dtype)
+        L = jnp.linalg.cholesky(Gm)
+        Hm = jax.scipy.linalg.solve_triangular(L, Hm, lower=True)
+        Hm = _herm(jax.scipy.linalg.solve_triangular(L, _herm(Hm),
+                                                     lower=True))
     # Sentinel ramp, scaled above the active spectrum, exactly decoupled.
     scale = 2.0 * jnp.max(jnp.abs(Hm)) + 1.0
     ramp = (1.0 + jnp.arange(mmax, dtype=real_dtype(H.dtype))) * scale
@@ -258,6 +297,9 @@ def solve_H_rr(H: jax.Array, b: jax.Array, target: Target,
     support_inactive = jnp.sum(
         jnp.abs(Z) ** 2 * (~amask).astype(w.dtype)[:, None], axis=0)
     is_pad = support_inactive > 0.5
+    if G is not None:
+        # back-transform to G-orthonormal coefficients: y = L^{-H} z
+        Z = jax.scipy.linalg.solve_triangular(_herm(L), Z, lower=False)
     keys = target_sort_keys(w, target, shifts.astype(w.dtype), shift_idx)
     inf = jnp.asarray(jnp.finfo(w.dtype).max, w.dtype)
     keys = jnp.where(is_pad, inf, keys)

@@ -162,6 +162,14 @@ class SolveConfig(NamedTuple):
     projection: Projection
     hermitian: bool
     init_random: bool
+    # Half-precision basis storage (set by setup_solver from the work
+    # dtype, never by make_config): solve the projected problem as the
+    # generalized pencil H y = theta (V^H B V) y because a bf16/f16 basis
+    # is orthonormal only to storage eps (orth=explicit_I,
+    # src/eigs/primme_c.c:304-319), and floor the convergence tolerance
+    # at the storage-precision resolution.
+    orth_explicit_I: bool = False
+    eps_floor: float = 0.0
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
@@ -201,12 +209,13 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     # over-allocate to a block multiple so the last (partial) block's panel
     # write never clamps onto earlier columns; sliced back to mmax below
     mal = max(mmax, nb * blk)
+    cdt = la.compute_dtype(dtype)   # block math runs here; stores round
     V = jnp.zeros((n, mal), dtype)
     W = jnp.zeros((n, mal), dtype)
     BV = V if B is None else jnp.zeros((n, mal), dtype)
 
     key, k0 = jax.random.split(key)
-    X = _rand_block(k0, n, blk, dtype)
+    X = _rand_block(k0, n, blk, cdt)
     # User initial guesses fill the leading basis blocks; remaining blocks
     # continue the Krylov chain from the last block (init.c:125: V = [user
     # guesses, block Krylov]). Partial guess blocks leave zero columns,
@@ -216,8 +225,8 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     if v0 is not None:
         k0g = min(v0.shape[1], b0)
         ngb = -(-k0g // blk)
-        v0pad = jnp.zeros((n, ngb * blk), dtype)
-        v0pad = v0pad.at[:, :k0g].set(v0[:, :k0g].astype(dtype))
+        v0pad = jnp.zeros((n, ngb * blk), cdt)
+        v0pad = v0pad.at[:, :k0g].set(v0[:, :k0g].astype(cdt))
         X = jax.lax.dynamic_slice(v0pad, (0, 0), (n, blk))
 
     locked = (evecs, Bevecs) if cfg.noc > 0 else None
@@ -231,7 +240,7 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
             # initial basis with random vectors instead of Krylov powers
             # (the LOBPCG presets prescribe this)
             key, kr = jax.random.split(key)
-            X = _rand_block(kr, n, blk, dtype)
+            X = _rand_block(kr, n, blk, cdt)
         if v0pad is not None:
             gb = jax.lax.dynamic_slice(
                 v0pad, (_i32(0), _i32(jnp.minimum(bi, (ngb - 1) * blk))),
@@ -239,11 +248,12 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
             X = jnp.where(i < ngb, gb, X)
         nact = jnp.minimum(blk, b0 - bi).astype(jnp.int32)
         res = block_ortho(X, (V, BV), locked, nact, kk, Bop=B)
-        V2 = _dus(V, res.X, 0, bi)
-        BV2 = V2 if B is None else _dus(BV, res.BX, 0, bi)
+        V2 = _dus(V, res.X.astype(V.dtype), 0, bi)
+        BV2 = V2 if B is None else _dus(BV, res.BX.astype(BV.dtype), 0, bi)
         Y = A.matmat(res.X)
-        W2 = _dus(W, Y, 0, bi)
-        return V2, W2, BV2, Y, key, nrand + res.n_random.astype(jnp.int32)
+        W2 = _dus(W, Y.astype(W.dtype), 0, bi)
+        return (V2, W2, BV2, Y.astype(cdt), key,
+                nrand + res.n_random.astype(jnp.int32))
 
     V, W, BV, _, key, nrand = jax.lax.fori_loop(
         0, nb, body, (V, W, BV, X, key, jnp.zeros((), jnp.int32)))
@@ -272,9 +282,12 @@ class Window(NamedTuple):
 
 def _tolerance(cfg: SolveConfig, anorm):
     """Default convergence test: ||r|| < max(eps, 2 macheps) * problemNorm
-    (``convTestFunAbsolute``, ``src/eigs/primme_c.c:555-570``)."""
+    (``convTestFunAbsolute``, ``src/eigs/primme_c.c:555-570``).
+    ``cfg.eps_floor`` is the storage-precision resolution of a
+    half-precision basis — residuals cannot resolve below it."""
     meps = machine_eps(anorm.dtype)
     eps = cfg.eps if cfg.eps > 0 else 1e4 * meps
+    eps = max(eps, cfg.eps_floor)
     return jnp.maximum(eps, 2 * meps) * anorm
 
 
@@ -311,7 +324,9 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         R = shifted_qr_R(s.W, s.BV if has_B else s.V, s.b, tau)
         sol = solve_H_harmonic(s.H, R, s.b, cfg.target, shifts, sidx)
     else:
-        sol = solve_H_rr(s.H, s.b, cfg.target, shifts, sidx)
+        G = (gram(s.V, s.BV if has_B else s.V)
+             if cfg.orth_explicit_I else None)
+        sol = solve_H_rr(s.H, s.b, cfg.target, shifts, sidx, G=G)
     hv_c = sol.hvecs[:, :c]
     hl_c = sol.hvals[:c]
     cands = compute_residuals(s.V, s.W, s.BV if has_B else None,
@@ -444,7 +459,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     mmax, mrs, kmax, c = cfg.mmax, cfg.mrs, cfg.kmax, cfg.cwin
     idx = jnp.arange(mmax, dtype=jnp.int32)
     active = win.sol.active
-    rdt = real_dtype(s.V.dtype)
+    rdt = s.locked_res.dtype    # compute-precision reals (f32 for bf16)
 
     # --- hard locking: move converged targets into evecs -----------------
     if cfg.locking:
@@ -462,10 +477,12 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
         off = cfg.noc + s.num_locked
         evecs = _dus(s.evecs,
                      jnp.where(lvalid[None, :], Xl,
-                               _ds(s.evecs, 0, off, (cfg.n, c))), 0, off)
+                               _ds(s.evecs, 0, off, (cfg.n, c))
+                               ).astype(s.evecs.dtype), 0, off)
         Bevecs = (_dus(s.Bevecs,
                        jnp.where(lvalid[None, :], BXl,
-                                 _ds(s.Bevecs, 0, off, (cfg.n, c))), 0, off)
+                                 _ds(s.Bevecs, 0, off, (cfg.n, c))
+                                 ).astype(s.Bevecs.dtype), 0, off)
                   if has_B else evecs)
         locked_vals = jax.lax.dynamic_update_slice(
             s.locked_vals, jnp.where(
@@ -497,11 +514,11 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
         # restart requires an orthonormal C (restart_refined/harmonic,
         # src/eigs/restart.c:1837,2255).
         Ckeep, keep_ok = orthonormalize_coeffs(
-            Ckeep, keep_ok, machine_eps(s.V.dtype))
+            Ckeep, keep_ok, machine_eps(s.H.dtype))
 
     # --- +k: retain previous-iteration coefficient vectors ---------------
     if kmax > 0:
-        meps = machine_eps(s.V.dtype)
+        meps = machine_eps(s.H.dtype)
         # Retained vectors must be orthogonal to BOTH the kept and the
         # just-locked coefficient vectors — a retained vector is typically
         # within O(res) of the pair that just converged, and projecting
@@ -531,9 +548,9 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     Cfull = Cfull.at[:, :C.shape[1]].set(C)
 
     # --- apply in coefficient space --------------------------------------
-    V = bcomb(s.V, Cfull)
-    W = bcomb(s.W, Cfull)
-    BV = bcomb(s.BV, Cfull) if has_B else V
+    V = bcomb(s.V, Cfull).astype(s.V.dtype)
+    W = bcomb(s.W, Cfull).astype(s.W.dtype)
+    BV = bcomb(s.BV, Cfull).astype(s.BV.dtype) if has_B else V
     H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
@@ -582,13 +599,13 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
 
 def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     key, kk, kr = jax.random.split(s.key, 3)
-    X = _rand_block(kr, cfg.n, cfg.blk, s.V.dtype)
+    X = _rand_block(kr, cfg.n, cfg.blk, la.compute_dtype(s.V.dtype))
     locked = ((s.evecs, s.Bevecs) if (cfg.noc > 0 or cfg.locking) else None)
     res = block_ortho(X, (s.V, s.BV), locked, _i32(cfg.blk), kk, Bop=B)
-    V = _dus(s.V, res.X, 0, 0)
-    BV = _dus(s.BV, res.BX, 0, 0) if B is not None else V
+    V = _dus(s.V, res.X.astype(s.V.dtype), 0, 0)
+    BV = _dus(s.BV, res.BX.astype(s.BV.dtype), 0, 0) if B is not None else V
     Y = A.matmat(res.X)
-    W = _dus(s.W, Y, 0, 0)
+    W = _dus(s.W, Y.astype(s.W.dtype), 0, 0)
     H = gram(V, Y)
     Hn = jnp.zeros_like(s.H)
     Hn = _dus(Hn, H, 0, 0)
@@ -685,10 +702,11 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     oBX = ores.BX * keepf if B is not None else oX
     ores = ores._replace(X=oX, BX=oBX)
 
-    V = _dus(s.V, ores.X, 0, s.b)
-    BV = _dus(s.BV, ores.BX, 0, s.b) if B is not None else V
+    V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
+    BV = (_dus(s.BV, ores.BX.astype(s.BV.dtype), 0, s.b)
+          if B is not None else V)
     Y = A.matmat(ores.X)
-    W = _dus(s.W, Y, 0, s.b)
+    W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
     hc = gram(V, Y)                      # [mmax, blk] new columns of H
     H = _dus(s.H, hc, 0, s.b)
     if cfg.hermitian:
@@ -733,9 +751,9 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
         jnp.where(bad | ~amask, 1.0, 0.0)).astype(V.dtype)
     L = jnp.linalg.cholesky(Gs)
     V = _herm(jax.scipy.linalg.solve_triangular(L, _herm(V), lower=True))
-    V = V * keep[None, :]
-    BV = B.matmat(V) if B is not None else V
-    W = A.matmat(V)
+    V = (V * keep[None, :].astype(V.dtype)).astype(s.V.dtype)
+    BV = (B.matmat(V) if B is not None else V).astype(s.BV.dtype)
+    W = A.matmat(V).astype(s.W.dtype)
     H = gram(V, W)
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
@@ -750,11 +768,11 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + s.b),
         num_resets=_i32(s.stats.num_resets + 1),
-        estimate_resid_error=jnp.zeros((), real_dtype(s.V.dtype)))
+        estimate_resid_error=jnp.zeros_like(s.stats.estimate_resid_error))
     return s._replace(V=V, W=W, BV=BV, H=H, b=nkeep,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       best_res=jnp.asarray(jnp.finfo(
-                          real_dtype(s.V.dtype)).max, real_dtype(s.V.dtype)),
+                          s.best_res.dtype).max, s.best_res.dtype),
                       restarts_since_reset=jnp.zeros((), jnp.int32),
                       stall_restarts=jnp.zeros((), jnp.int32), stats=stats)
 
@@ -773,8 +791,20 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
     """Build config + initial state (``wrapper_Sprimme`` setup portion,
     ``src/eigs/primme_c.c:278``)."""
     cfg = make_config(p)
-    dtype = jnp.dtype(dtype or A.dtype)
-    rdt = real_dtype(dtype)
+    dtype = jnp.dtype(dtype or A.dtype)   # basis STORAGE dtype
+    cdt = la.compute_dtype(dtype)         # small-dense / accumulation dtype
+    rdt = real_dtype(cdt)
+    if cdt != dtype:
+        # Half-precision basis (bf16/f16): generalized projected solve
+        # against the explicit V^H B V (orth=explicit_I,
+        # src/eigs/primme_c.c:304-319) and an eps floor at the storage
+        # resolution. Only the RR projection supports this.
+        if cfg.projection != Projection.RR:
+            raise ValueError(
+                f"projection={cfg.projection} requires f32+ working "
+                "precision; half-precision basis supports RR only")
+        cfg = cfg._replace(orth_explicit_I=True,
+                           eps_floor=4.0 * machine_eps(dtype))
     n, mmax = cfg.n, cfg.mmax
     if key is None:
         key = jax.random.key(p.rng_seed)
@@ -815,10 +845,10 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
                                       num_random=nrand0.astype(jnp.int32))
     s0 = SolverState(
         V=V, W=W, BV=BV, H=H, b=b,
-        prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), dtype),
+        prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), cdt),
         evecs=evecs0, Bevecs=Bevecs0,
         locked_vals=jnp.zeros((cfg.lockmax - cfg.noc,),
-                              rdt if cfg.hermitian else dtype),
+                              rdt if cfg.hermitian else cdt),
         locked_res=jnp.zeros((cfg.lockmax - cfg.noc,), rdt),
         num_locked=jnp.zeros((), jnp.int32),
         best_res=jnp.asarray(jnp.finfo(rdt).max, rdt),
@@ -940,10 +970,10 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
     win, stats = prepare_window(cfg, s, shifts, has_B)
     s = s._replace(stats=stats)
     ne = cfg.ne
-    rdt = real_dtype(s.V.dtype)
+    rdt = real_dtype(s.H.dtype)   # compute precision (f32 for bf16 basis)
     big = jnp.asarray(jnp.finfo(rdt).max / 16, rdt)
 
-    vdt = rdt if cfg.hermitian else s.V.dtype
+    vdt = rdt if cfg.hermitian else s.H.dtype
     bactive = win.sol.active[:cfg.cwin]
     basis_vals = jnp.where(bactive, jnp.where(
         jnp.abs(win.sol.hvals[:cfg.cwin]) < big,

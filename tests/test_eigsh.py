@@ -134,6 +134,31 @@ def test_float32(tridiag):
     assert_close(vals, ref[:4], tol=1e-3)
 
 
+@pytest.mark.parametrize("half", ["bfloat16", "float16"])
+def test_half_precision_basis(tridiag, half):
+    """Half-precision working basis (the reference's half kind,
+    src/include/template_types.h:40-150; on TPU the native dtype is
+    bf16). The basis is stored in half, small dense algebra runs in f32
+    against the explicit V^H V Gram (orth=explicit_I,
+    src/eigs/primme_c.c:304-319). Accuracy floors at ~eps(half)*||A||."""
+    import jax.numpy as jnp
+
+    A, ref = tridiag
+    anorm = np.abs(ref).max()
+    dt = jnp.dtype(half)
+    tol = 4 * float(jnp.finfo(dt).eps)
+    vals, vecs, st = eigsh(A.astype(np.float32), k=3, which="SA", tol=tol,
+                           dtype=dt, return_stats=True,
+                           raise_for_unconverged=False)
+    assert vals.dtype == np.float32 and vecs.dtype == np.float32
+    R = A @ vecs - vecs * vals[None, :]
+    floor = 16 * float(jnp.finfo(dt).eps)   # ~6e-2 bf16, ~1.6e-2 f16
+    assert np.linalg.norm(R, axis=0).max() < floor * anorm
+    # each returned value is a true eigenvalue to the storage resolution
+    assert np.abs(ref[None, :] - vals[:, None]).min(axis=1).max() \
+        < floor * anorm
+
+
 def test_deflation_constraints(tridiag):
     A, ref = tridiag
     w, v = np.linalg.eigh(A.toarray())
