@@ -14,7 +14,8 @@ from .params import (PrimmeParams, Target, Projection, InitBasisMode,
                      member_names, display_params)
 from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
                         ELLOperator, BandedOperator, Stencil3DOperator,
-                        FunctionOperator, JacobiPrecond, aslinearoperator,
+                        FunctionOperator, JacobiPrecond, ChebyshevPrecond,
+                        aslinearoperator,
                         apply_precond)
 from .core.solver import solve_eigs, EigsResult, Stats
 from .api import eigsh, eigs, PrimmeError
@@ -30,6 +31,7 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
     "BandedOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
+    "ChebyshevPrecond",
     "aslinearoperator", "apply_precond",
     "solve_eigs", "EigsResult", "Stats", "eigsh", "eigs", "svds",
     "PrimmeError",

@@ -49,7 +49,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           dtype: Any = None, seed: int = 0, projection: Any = None,
           return_history: bool = False, monitor: Any = None,
           mesh: Any = None, convtest: Any = None, printLevel: int = 0,
-          maxInnerIterations: Optional[int] = None):
+          maxInnerIterations: Optional[int] = None,
+          time_breakdown: bool = False):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -253,6 +254,16 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     stats = {k_: np.asarray(v).item()
              for k_, v in res.stats._asdict().items()}
     stats["elapsed_time"] = time.perf_counter() - _t0
+    # zero by construction under SPMD: the projected solve is replicated,
+    # never rank-0-solved-and-broadcast (primme_stats numBroadcast)
+    stats["num_broadcast"] = 0
+    stats["volume_broadcast"] = 0
+    if time_breakdown and return_stats:
+        from .profiling import time_breakdown as _tb
+        stats = _tb(Aop, K, stats, mmax=p.max_basis_size,
+                    blk=p.max_block_size,
+                    cwin=min(p.max_basis_size, k + p.max_block_size),
+                    dtype=(dtype or Aop.dtype), n=n)
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}

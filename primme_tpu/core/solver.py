@@ -64,7 +64,16 @@ _BIG = 1 << 20  # stable-sort priority offset (int32-safe: 4*_BIG*mmax < 2^31 fo
 
 
 class Stats(NamedTuple):
-    """Per-solve counters (``primme_stats``, ``include/primme_eigs.h:109-135``)."""
+    """Per-solve counters (``primme_stats``, ``include/primme_eigs.h:109-135``).
+
+    ``num_global_sum``/``volume_global_sum`` count the cross-device
+    reductions GSPMD inserts for row-sharded Gram products and column
+    norms (the reference's ``globalSumReal`` callback counters) —
+    analytic per-branch counts, exact for the ops the solver issues.
+    ``numBroadcast`` is zero by construction under SPMD (the projected
+    solve is replicated, never solved-on-rank-0-and-broadcast) and is
+    reported as 0 at the API layer. ``flops_dense`` counts the fused
+    VWXR residual kernel (reference ``flopsDense``)."""
 
     num_outer_iterations: jax.Array
     num_restarts: jax.Array
@@ -77,12 +86,21 @@ class Stats(NamedTuple):
     anorm_estimate: jax.Array
     max_conv_tol: jax.Array        # adaptive accuracy floor (stats.maxConvTol)
     estimate_resid_error: jax.Array  # accumulated-roundoff estimate
+    num_global_sum: jax.Array        # numGlobalSum
+    volume_global_sum: jax.Array     # volumeGlobalSum (scalars reduced)
+    flops_dense: jax.Array           # flopsDense (VWXR kernel flops)
+    num_ortho_inner_prods: jax.Array  # numOrthoInnerProds
+    est_min_eval: jax.Array          # estimateMinEVal
+    est_max_eval: jax.Array          # estimateMaxEVal
+    num_practical: jax.Array         # lockingIssue (weak-criterion accepts)
 
     @staticmethod
     def zeros(rdt):
         z = jnp.zeros((), jnp.int32)
         zr = jnp.zeros((), rdt)
-        return Stats(z, z, z, z, z, z, z, z, zr, zr, zr)
+        big = jnp.asarray(jnp.finfo(rdt).max, rdt)
+        return Stats(z, z, z, z, z, z, z, z, zr, zr, zr,
+                     z, zr, zr, zr, big, -big, z)
 
 
 class SolverState(NamedTuple):
@@ -280,6 +298,20 @@ class Window(NamedTuple):
     tol: jax.Array
 
 
+def _ortho_counts(cfg: SolveConfig, has_locked: bool):
+    """Analytic globalSum / inner-product counts of ONE block_ortho call:
+    2 CGS passes (basis Gram + optional locked Gram + CholeskyQR Gram)
+    plus the initial reference norms and survivor norms. These are the
+    reductions GSPMD inserts under row sharding (reference counterpart:
+    ``globalSumReal`` counting in ``src/eigs/auxiliary_eigs.c:391``)."""
+    blk = cfg.blk
+    ngs = 2 * (1 + (1 if has_locked else 0) + 1) + 2
+    vol = (2 * (cfg.mmax * blk
+                + (cfg.lockmax * blk if has_locked else 0)
+                + blk * blk) + 2 * blk)
+    return ngs, float(vol)
+
+
 def _tolerance(cfg: SolveConfig, anorm):
     """Default convergence test: ||r|| < max(eps, 2 macheps) * problemNorm
     (``convTestFunAbsolute``, ``src/eigs/primme_c.c:555-570``).
@@ -377,9 +409,38 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         attainable = jnp.sqrt(1.0 + cfg.noc
                               + s.num_locked.astype(tol.dtype)) * tol
         practical = (projres <= tol) & (cands.resnorms <= attainable)
+        weak_only = practical & is_target & ~conv
         conv = conv | (practical & is_target)
+    else:
+        weak_only = jnp.zeros_like(conv)
     nconv = _i32(jnp.sum(conv.astype(jnp.int32)))
-    stats = s.stats._replace(anorm_estimate=anorm_est)
+
+    # --- stats: comm volume, dense flops, spectrum-range estimates -------
+    # (primme_stats parity: flopsDense counts the fused VWXR kernel,
+    # numGlobalSum/volumeGlobalSum the reductions this window issued,
+    # estimateMin/MaxEVal track the Ritz range, lockingIssue the
+    # weak-criterion acceptances.)
+    has_locked = cfg.locking or cfg.noc > 0
+    fmul = 8.0 if jnp.issubdtype(s.V.dtype, jnp.complexfloating) else 2.0
+    sdt = s.stats.volume_global_sum.dtype
+    fl = fmul * cfg.n * cfg.mmax * c * (3 if has_B else 2) + 3.0 * cfg.n * c
+    ngs = 2 + (1 if has_locked else 0) + (1 if cfg.orth_explicit_I else 0)
+    vol = (2.0 * c + (float(cfg.lockmax * c) if has_locked else 0.0)
+           + (float(cfg.mmax * cfg.mmax) if cfg.orth_explicit_I else 0.0))
+    bigr = jnp.asarray(jnp.finfo(sdt).max, sdt)
+    rv = jnp.real(jnp.where(active, jnp.where(
+        jnp.isfinite(hl_c), hl_c, 0), 0)).astype(sdt)
+    emin = jnp.min(jnp.where(active, rv, bigr))
+    emax = jnp.max(jnp.where(active, rv, -bigr))
+    stats = s.stats._replace(
+        anorm_estimate=anorm_est,
+        num_global_sum=_i32(s.stats.num_global_sum + ngs),
+        volume_global_sum=s.stats.volume_global_sum + vol,
+        flops_dense=s.stats.flops_dense + fl,
+        est_min_eval=jnp.minimum(s.stats.est_min_eval, emin),
+        est_max_eval=jnp.maximum(s.stats.est_max_eval, emax),
+        num_practical=_i32(s.stats.num_practical
+                           + jnp.sum(weak_only.astype(jnp.int32))))
     return Window(sol, cands, conv, is_target, n_needed, nconv, tol), stats
 
 
@@ -716,12 +777,24 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # not the conjugate of the column panel
         hr = gram(ores.X, W)             # [blk, mmax]
         H = _dus(H, hr, s.b, 0)
+    # comm/inner-product accounting: one block_ortho + the H panel
+    # gram(s) + ~5 width-blk dot products per inner QMR iteration
+    ngs_bo, vol_bo = _ortho_counts(cfg, locked is not None)
+    npanel = 1 if cfg.hermitian else 2
+    sdt = s.stats.volume_global_sum.dtype
+    innerf = n_inner.astype(sdt)
     stats = s.stats._replace(
         num_outer_iterations=_i32(s.stats.num_outer_iterations + 1),
         num_matvecs=_i32(s.stats.num_matvecs + nc + n_mv_inner),
         num_preconds=_i32(s.stats.num_preconds + n_prec),
         num_inner_iterations=_i32(s.stats.num_inner_iterations + n_inner),
-        num_random=_i32(s.stats.num_random + ores.n_random))
+        num_random=_i32(s.stats.num_random + ores.n_random),
+        num_global_sum=_i32(s.stats.num_global_sum + ngs_bo + npanel
+                            + 5 * n_inner),
+        volume_global_sum=(s.stats.volume_global_sum + vol_bo
+                           + float(npanel * cfg.mmax * blk)
+                           + 5.0 * blk * innerf),
+        num_ortho_inner_prods=s.stats.num_ortho_inner_prods + vol_bo)
     return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc),
                       prev_hvecs=prev, key=key, stats=stats)
 
@@ -765,10 +838,19 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     W = W[:, order]
     BV = BV[:, order] if B is not None else V
     H = H[order][:, order]
+    has_locked = cfg.locking or cfg.noc > 0
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + s.b),
         num_resets=_i32(s.stats.num_resets + 1),
-        estimate_resid_error=jnp.zeros_like(s.stats.estimate_resid_error))
+        estimate_resid_error=jnp.zeros_like(s.stats.estimate_resid_error),
+        num_global_sum=_i32(s.stats.num_global_sum + 2
+                            + (2 if has_locked else 0)),
+        volume_global_sum=(s.stats.volume_global_sum
+                           + 2.0 * cfg.mmax * cfg.mmax
+                           + (2.0 * cfg.lockmax * cfg.mmax
+                              if has_locked else 0.0)),
+        num_ortho_inner_prods=(s.stats.num_ortho_inner_prods
+                               + float(cfg.mmax * cfg.mmax)))
     return s._replace(V=V, W=W, BV=BV, H=H, b=nkeep,
                       prev_hvecs=jnp.zeros_like(s.prev_hvecs),
                       best_res=jnp.asarray(jnp.finfo(
@@ -841,8 +923,14 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         else:
             BV = V
 
-    stats = Stats.zeros(rdt)._replace(num_matvecs=nmv0,
-                                      num_random=nrand0.astype(jnp.int32))
+    b0 = max(min(cfg.mrs, mmax), min(cfg.blk, mmax))
+    nb0 = -(-b0 // cfg.blk)
+    ngs_bo, vol_bo = _ortho_counts(cfg, cfg.noc > 0)
+    stats = Stats.zeros(rdt)._replace(
+        num_matvecs=nmv0, num_random=nrand0.astype(jnp.int32),
+        num_global_sum=jnp.asarray(nb0 * ngs_bo + 1, jnp.int32),
+        volume_global_sum=jnp.asarray(nb0 * vol_bo + mmax * mmax, rdt),
+        num_ortho_inner_prods=jnp.asarray(nb0 * vol_bo, rdt))
     s0 = SolverState(
         V=V, W=W, BV=BV, H=H, b=b,
         prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), cdt),

@@ -386,6 +386,95 @@ class JacobiPrecond(LinearOperator):
         return X / denom
 
 
+@jax.tree_util.register_pytree_node_class
+class ChebyshevPrecond(LinearOperator):
+    """Polynomial (Chebyshev-iteration) preconditioner:
+    ``z ~= (A - sigma I)^{-1} r`` with the error polynomial equioscillating
+    on ``[a, b]``, the interval enclosing the *unwanted* spectrum of
+    ``A - sigma I``.
+
+    This is the TPU-native stand-in for the ILUT general preconditioner
+    the reference's hard test configs use (``tests/COMMON/ilut.f`` —
+    capability bar, not the algorithm): an incomplete-LU apply is two
+    sequential triangular solves (hostile to the MXU and to SPMD row
+    sharding), while Chebyshev iteration is ``degree`` extra block
+    matvecs — exactly the op the hardware is fastest at, and it shards
+    with the operator for free. Requires ``0 < a < b``: intended for
+    extreme targets whose wanted eigenvalues lie *below* ``a``
+    (SPD-style; shift ``sigma`` so this holds).
+
+    Classic three-term recurrence (Saad, *Iterative Methods for Sparse
+    Linear Systems*, alg. 12.1); one application costs ``degree``
+    matvecs with A, amortized across the whole block on the MXU.
+    """
+
+    def __init__(self, A, interval, degree: int = 10, sigma: float = 0.0):
+        self.A = A if isinstance(A, LinearOperator) else aslinearoperator(A)
+        rdt = jnp.zeros((), self.A.dtype).real.dtype
+        a, b = interval
+        self.a = jnp.asarray(a, rdt)
+        self.b = jnp.asarray(b, rdt)
+        self.sigma = jnp.asarray(sigma, rdt)
+        self.degree = int(degree)
+        self.shape = self.A.shape
+        self.dtype = self.A.dtype
+
+    @classmethod
+    def from_operator(cls, A, degree: int = 10, lower_frac: float = 0.05,
+                      sigma: float = 0.0, power_iters: int = 20, seed: int = 0):
+        """Build with the interval estimated on the host: ``b`` from a
+        short power iteration on A (x1.05 safety), ``a = lower_frac * b``
+        (the wanted eigenvalues must lie below ``a``)."""
+        Aop = A if isinstance(A, LinearOperator) else aslinearoperator(A)
+        n = Aop.shape[0]
+        key = jax.random.key(seed)
+        rdt = jnp.zeros((), Aop.dtype).real.dtype
+        x = jax.random.normal(key, (n, 1), rdt).astype(Aop.dtype)
+        lam = jnp.ones((), rdt)
+        for _ in range(power_iters):
+            y = Aop.matmat(x)
+            lam = jnp.linalg.norm(y)
+            x = y / jnp.maximum(lam, jnp.finfo(rdt).tiny)
+        b = 1.05 * float(lam)
+        return cls(Aop, (lower_frac * b, b), degree=degree, sigma=sigma)
+
+    def _leaves(self):
+        return (self.A, self.a, self.b, self.sigma)
+
+    def _aux(self):
+        return (self.degree, self.shape, str(jnp.dtype(self.dtype)))
+
+    def _init_from(self, leaves, aux):
+        self.A, self.a, self.b, self.sigma = leaves
+        self.degree, self.shape, dt = aux
+        self.dtype = jnp.dtype(dt)
+
+    def matmat(self, X):
+        theta = 0.5 * (self.b + self.a)
+        delta = 0.5 * (self.b - self.a)
+        sig1 = theta / delta
+        sh = self.sigma.astype(self.dtype)
+
+        def op(Z):
+            return self.A.matmat(Z) - sh * Z
+
+        d = (X / theta.astype(self.dtype))
+        z0 = d
+        rho0 = 1.0 / sig1
+
+        def body(_, carry):
+            z, d, rho = carry
+            r = X - op(z)
+            rho_n = 1.0 / (2.0 * sig1 - rho)
+            d = (rho_n * rho).astype(self.dtype) * d \
+                + (2.0 * rho_n / delta).astype(self.dtype) * r
+            return z + d, d, rho_n
+
+        z, _, _ = jax.lax.fori_loop(0, self.degree - 1, body,
+                                    (z0, d, rho0))
+        return z
+
+
 def apply_precond(K: Optional[LinearOperator], X: jax.Array,
                   shifts: Optional[jax.Array] = None) -> jax.Array:
     """Uniform preconditioner application; identity if ``K is None``.

@@ -127,6 +127,61 @@ def test_jacobi_precond_cuts_matvecs(tridiag):
     assert st_p["num_matvecs"] < st_n["num_matvecs"] / 2
 
 
+def test_chebyshev_precond():
+    """Polynomial (Chebyshev) preconditioner — the TPU-native ILUT-class
+    option (reference capability bar: tests/COMMON/ilut.f). On a 2D
+    Laplacian the diagonal is constant, so Jacobi is a no-op scalar;
+    Chebyshev must cut outer matvecs by well over 2x."""
+    m = 24
+    T = sp.diags([np.full(m - 1, -1.), np.full(m, 2.),
+                  np.full(m - 1, -1.)], [-1, 0, 1])
+    Iden = sp.eye(m)
+    A = (sp.kron(T, Iden) + sp.kron(Iden, T)).tocsr()
+    truth = np.sort(np.linalg.eigvalsh(A.toarray()))[:4]
+
+    _, _, st_j = eigsh(A, k=4, which="SA", tol=1e-9, jacobi=True,
+                       return_stats=True, raise_for_unconverged=False)
+    from primme_tpu import ChebyshevPrecond
+    K = ChebyshevPrecond.from_operator(A, degree=10)
+    # maxBlockSize >= multiplicity: the 2D Laplacian spectrum is full of
+    # (i,j)/(j,i) twins, and with a filter this strong a single-vector
+    # block converges the next distinct value before the twin re-emerges
+    # (same remedy the reference documents for multiple eigenvalues)
+    vals, vecs, st_c = eigsh(A, k=4, which="SA", tol=1e-9, OPinv=K,
+                             maxBlockSize=2,
+                             return_stats=True, raise_for_unconverged=False)
+    assert_close(np.sort(vals), truth, tol=1e-8)
+    assert st_c["num_matvecs"] * 2 < st_j["num_matvecs"]
+    R = A @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-7
+
+
+def test_stats_parity(tridiag):
+    """primme_stats parity (include/primme_eigs.h:109-135): comm-volume
+    counters, VWXR flops, spectrum-range estimates, and the host-timed
+    per-category breakdown."""
+    A, ref = tridiag
+    vals, _, st = eigsh(A, k=4, which="SA", tol=1e-9, jacobi=True,
+                        return_stats=True, time_breakdown=True,
+                        raise_for_unconverged=False)
+    assert st["num_global_sum"] > 0
+    assert st["volume_global_sum"] >= st["num_global_sum"]
+    assert st["flops_dense"] > 0 and st["num_ortho_inner_prods"] > 0
+    assert st["num_broadcast"] == 0 and st["volume_broadcast"] == 0
+    # range estimates bracket the found eigenvalues
+    assert st["est_min_eval"] <= vals.min() + 1e-6
+    assert st["est_max_eval"] >= vals.max() - 1e-6
+    assert st["est_max_eval"] <= ref.max() + 1.0
+    # time breakdown: non-negative, categories sum to <= elapsed
+    tsum = (st["time_matvec"] + st["time_precond"] + st["time_ortho"]
+            + st["time_dense"])
+    assert all(st[k] >= 0 for k in
+               ("time_matvec", "time_precond", "time_ortho", "time_dense",
+                "time_other"))
+    assert st["time_precond"] > 0          # jacobi ran
+    assert tsum <= st["elapsed_time"] + 1e-9 + st["time_other"]
+
+
 def test_float32(tridiag):
     A, ref = tridiag
     vals, _ = eigsh(A.astype(np.float32), k=4, which="SA", tol=1e-4,
