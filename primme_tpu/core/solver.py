@@ -123,6 +123,11 @@ class SolverState(NamedTuple):
     best_res: jax.Array          # best leading-candidate residual seen
     stall_restarts: jax.Array    # restarts without sufficient progress
     restarts_since_reset: jax.Array  # drives estimateResidualError (restart.c:437)
+    # previous-iteration sorted Ritz values (locked ++ window), indexed by
+    # absolute sorted position — feeds computeRobustShift's delta term
+    # (src/eigs/correction.c:248-252 prevRitzVals)
+    prev_ritz: jax.Array         # [lockmax + cwin]
+    num_prev_ritz: jax.Array
     # control
     key: jax.Array
     done: jax.Array
@@ -480,17 +485,89 @@ def gd_correction(cfg: SolveConfig, K, R, X, sigma, valid):
     return D * valid[None, :].astype(R.dtype)
 
 
-def _robust_shifts(cfg: SolveConfig, lam, res, valid):
-    """Shift slightly outward by the residual norm so the preconditioner
-    does not lock onto an unconverged Ritz value (``computeRobustShift``,
-    ``src/eigs/correction.c:481``)."""
-    lam = jnp.where(valid, jnp.where(jnp.isfinite(lam), lam, 0), 0)
-    if not cfg.robust_shifts or not cfg.hermitian:
-        return lam
-    sgn = -1.0 if cfg.target == Target.smallest else 1.0
+def _robust_shifts(cfg: SolveConfig, s: SolverState, win: Window,
+                   cand_idx, lam, res, valid, shifts):
+    """Correction-equation shifts (``solve_correction`` shift logic +
+    ``computeRobustShift``, ``src/eigs/correction.c:176-320,481-606``).
+
+    Extreme targets with robustShifts: Davis–Kahan shift
+    ``lambda -/+ epsilon`` with ``epsilon = min(delta, res^2/gap,
+    lowerGap)`` when the Ritz value is separated (``gap > res``), else
+    ``min(res, lowerGap)``; clamped to not cross the previous (already
+    better converged) value. ``gap``/``lowerGap`` come from the merged
+    sorted list (locked ++ window) and ``delta`` from the previous
+    iteration's values at the same sorted position.
+
+    Interior targets: while the Ritz value is within ``res`` of the user
+    shift it is untrusted — use the target shift itself; with refined
+    extraction the Ritz value is trusted immediately; otherwise take the
+    closest point of ``[lambda - res, lambda + res]`` to the target.
+
+    Returns ``(sigma, prev_ritz', num_prev_ritz')``.
+    """
+    lam0 = jnp.where(valid, jnp.where(jnp.isfinite(lam), lam, 0), 0)
+    if not cfg.hermitian:
+        return lam0, s.prev_ritz, s.num_prev_ritz
+
+    c = cfg.cwin
+    rdt = s.prev_ritz.dtype
+    big = jnp.asarray(jnp.finfo(rdt).max / 8, rdt)
+    tiny = jnp.finfo(rdt).tiny
+    hl = win.sol.hvals[:c].astype(rdt)
+    act = win.sol.active[:c]
+    hv = jnp.where(act, jnp.where(jnp.isfinite(hl), hl, 0), big)
+    n_act = _i32(jnp.sum(act.astype(jnp.int32)))
+
+    # persist the current merged-sorted values at absolute positions
+    prev2 = _dus(s.prev_ritz[None, :], hv[None, :], 0,
+                 s.num_locked)[0]
+    nprev2 = _i32(s.num_locked + n_act)
+
     if cfg.target in (Target.smallest, Target.largest):
-        return lam + sgn * res
-    return lam
+        if not cfg.robust_shifts:
+            return lam0, prev2, nprev2
+        j = cand_idx
+        si = s.num_locked + j
+        lastlock = s.locked_vals[jnp.maximum(s.num_locked - 1, 0)].astype(
+            rdt)
+        has_lower = (j > 0) | (s.num_locked > 0)
+        lower_val = jnp.where(j > 0, hv[jnp.maximum(j - 1, 0)], lastlock)
+        up_ok = (j + 1 < c) & act[jnp.minimum(j + 1, c - 1)]
+        upper_val = hv[jnp.minimum(j + 1, c - 1)]
+        resr = res.astype(rdt)
+        lam_r = lam0.astype(rdt)
+        lower_gap = jnp.where(has_lower, jnp.abs(lam_r - lower_val), big)
+        upper_gap = jnp.where(up_ok, jnp.abs(upper_val - lam_r), big)
+        gap = jnp.minimum(lower_gap, upper_gap)
+        prev = s.prev_ritz[jnp.clip(si, 0, s.prev_ritz.shape[0] - 1)]
+        delta = jnp.where(si < s.num_prev_ritz,
+                          jnp.abs(prev - lam_r), big)
+        eps_sep = jnp.minimum(delta, jnp.minimum(
+            resr * resr / jnp.maximum(gap, tiny), lower_gap))
+        eps_clu = jnp.minimum(resr, lower_gap)
+        epsilon = jnp.where(gap > resr, eps_sep, eps_clu)
+        epsilon = jnp.where(s.stats.num_outer_iterations <= 1, resr,
+                            epsilon)
+        if cfg.target == Target.smallest:
+            sig = lam_r - epsilon
+            sig = jnp.where(has_lower, jnp.maximum(sig, lower_val), sig)
+        else:
+            sig = lam_r + epsilon
+            sig = jnp.where(has_lower, jnp.minimum(sig, lower_val), sig)
+        sigma = jnp.where(valid, sig, 0).astype(lam0.dtype)
+        return sigma, prev2, nprev2
+
+    # interior targets (correction.c:203-239)
+    ts = shifts[jnp.minimum(s.num_locked, shifts.shape[0] - 1)].astype(
+        lam0.dtype)
+    d = ts - lam0
+    near = jnp.abs(d) < res.astype(lam0.dtype)
+    if cfg.projection == Projection.refined:
+        far = lam0
+    else:
+        far = lam0 + res.astype(lam0.dtype) * jnp.sign(d)
+    sigma = jnp.where(valid, jnp.where(near, ts, far), 0)
+    return sigma, prev2, nprev2
 
 
 # ---------------------------------------------------------------------------
@@ -683,7 +760,7 @@ def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
 # ---------------------------------------------------------------------------
 
 def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
-              inner_solve=None) -> SolverState:
+              shifts=None, inner_solve=None) -> SolverState:
     blk, c, mmax, kmax = cfg.blk, cfg.cwin, cfg.mmax, cfg.kmax
     order = _unconverged_order(win)
     n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
@@ -691,14 +768,17 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     nc = _i32(jnp.minimum(blk, n_unconv))
     cand_idx = order[:blk]
     valid = jnp.arange(blk) < nc
-    vmask = valid.astype(s.V.dtype)[None, :]
+    vmask = valid.astype(win.cands.X.dtype)[None, :]
 
     R = win.cands.R[:, cand_idx] * vmask
     X = win.cands.X[:, cand_idx] * vmask
     BX = win.cands.BX[:, cand_idx] * vmask if B is not None else X
     lam = win.sol.hvals[:c][cand_idx]
     res = win.cands.resnorms[cand_idx]
-    sigma = _robust_shifts(cfg, lam, res, valid)
+    if shifts is None:
+        shifts = jnp.zeros((1,), s.prev_ritz.dtype)
+    sigma, prev_ritz2, num_prev2 = _robust_shifts(
+        cfg, s, win, cand_idx, lam, res, valid, shifts)
 
     # +k retention candidates for the *next* restart (unconverged-first)
     if kmax > 0:
@@ -796,7 +876,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
                            + 5.0 * blk * innerf),
         num_ortho_inner_prods=s.stats.num_ortho_inner_prods + vol_bo)
     return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc),
-                      prev_hvecs=prev, key=key, stats=stats)
+                      prev_hvecs=prev, key=key, stats=stats,
+                      prev_ritz=prev_ritz2, num_prev_ritz=num_prev2)
 
 
 
@@ -941,7 +1022,9 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         num_locked=jnp.zeros((), jnp.int32),
         best_res=jnp.asarray(jnp.finfo(rdt).max, rdt),
         restarts_since_reset=jnp.zeros((), jnp.int32),
-        stall_restarts=jnp.zeros((), jnp.int32), key=key,
+        stall_restarts=jnp.zeros((), jnp.int32),
+        prev_ritz=jnp.zeros((cfg.lockmax + cfg.cwin,), rdt),
+        num_prev_ritz=jnp.zeros((), jnp.int32), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
     return cfg, shifts, s0
 
@@ -1000,7 +1083,7 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
 
             def expand(s):
                 mv0 = s.stats.num_matvecs
-                s = do_expand(cfg, A, B, K, s, win,
+                s = do_expand(cfg, A, B, K, s, win, shifts=shifts,
                               inner_solve=inner_solve)
                 # an expansion that added no basis column is a stall
                 return s._replace(stall_restarts=_i32(jnp.where(
