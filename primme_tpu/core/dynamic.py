@@ -32,6 +32,7 @@ from .solver import (EigsResult, setup_solver, run_segment, extract_result,
 
 _SEG_OUTER = 10          # outer iterations per measured segment
 _HYSTERESIS = 1.04       # switch only on >4% advantage (main_iter.c:1221)
+_REPROBE_EVERY = 4       # re-measure the idle method every N settled segments
 
 
 def _progress_score(cfg, resnorms, num_locked, anorm, eps):
@@ -48,8 +49,11 @@ def _progress_score(cfg, resnorms, num_locked, anorm, eps):
 def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                        ortho_const=None, key=None, dtype=None,
                        has_precond=None, shard=None, monitor=None,
-                       convtest=None) -> EigsResult:
-    """Eigensolve with runtime GD+k <-> JDQMR switching."""
+                       convtest=None, method_trace=None) -> EigsResult:
+    """Eigensolve with runtime GD+k <-> JDQMR switching.
+
+    ``method_trace``: optional list; the method name of every measured
+    segment is appended (observability for tests and the monitor)."""
     from .inner import jdqmr_inner_solve
 
     if has_precond is None:
@@ -97,6 +101,7 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     max_mv = min(p.max_matvecs, (1 << 31) - 1)
 
     prev_snap = None
+    segs_since_probe = 0   # segments since the idle method last ran
     while True:
         it0 = int(s.stats.num_outer_iterations)
         if bool(s.done) or it0 >= max_outer or \
@@ -105,6 +110,8 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
         res_b, lock_b, anorm_b = prev_snap or snapshot(s)
         score_b = _progress_score(cfg_gd, res_b, lock_b, max(anorm_b, 1e-30),
                                   p.eps)
+        if method_trace is not None:
+            method_trace.append(current)
         t0 = time.perf_counter()
         s = runners[current](s, jnp.asarray(it0 + _SEG_OUTER, jnp.int32))
         jax.block_until_ready(s.stats.num_outer_iterations)
@@ -119,7 +126,20 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
         other = "jd" if current == "gd" else "gd"
         if rates[other] is None:
             current = other           # initial exploration of both methods
+            segs_since_probe = 0
         elif rates[other] > _HYSTERESIS * (rates[current] or 0.0):
             current = other
+            segs_since_probe = 0
+        elif segs_since_probe >= _REPROBE_EVERY:
+            # The idle method's rate is stale — its last measurement may
+            # predate a regime change (spectrum region, locking phase).
+            # Force one measured segment on it so switching stays live
+            # (the reference recomputes both cost models every iteration,
+            # update_statistics, src/eigs/main_iter.c:2194; here the cost
+            # model IS the measurement, so the loser must actually run).
+            current = other
+            segs_since_probe = 0
+        else:
+            segs_since_probe += 1
 
     return extract_result(cfg_gd, s, shifts, B is not None)

@@ -296,6 +296,31 @@ def test_dynamic_method(tridiag):
     assert_close(vals, ref[:5])
 
 
+def test_dynamic_reprobes_idle_method():
+    """DYNAMIC must keep measuring the non-current method (the reference
+    updates both cost models every iteration, main_iter.c:2194
+    update_statistics); a settled winner must not starve the loser of
+    measurements forever."""
+    from primme_tpu.core.dynamic import solve_eigs_dynamic
+    from primme_tpu.params import PrimmeParams, Target
+    from primme_tpu.operators import aslinearoperator
+
+    n = 500
+    A = sp.diags([np.full(n - 1, -1.), np.linspace(1., 2., n),
+                  np.full(n - 1, -1.)], [-1, 0, 1]).tocsr()
+    p = PrimmeParams(n=n, num_evals=10, target=Target.smallest, eps=1e-12,
+                     dynamic_method_switch=1)
+    trace = []
+    res = solve_eigs_dynamic(aslinearoperator(A), p, method_trace=trace)
+    ref = np.sort(np.linalg.eigvalsh(A.toarray()))[:10]
+    assert np.abs(np.sort(np.asarray(res.evals)) - ref).max() < 1e-8
+    # enough segments ran to exercise re-probing, and after the initial
+    # exploration the loser still shows up in the measured trace
+    assert len(trace) >= 8, trace
+    tail = trace[2:]
+    assert "gd" in tail and "jd" in tail, trace
+
+
 def test_mhd1280b_reference():
     """mhd1280b.mtx: complex Hermitian reference matrix (tests/mhd1280b.mtx,
     interior configs test_1??)."""
