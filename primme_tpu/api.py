@@ -164,29 +164,35 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
 
     history: dict = {"num_matvecs": [], "num_outer": [], "num_locked": [],
                      "num_converged": [], "basis_size": [], "event": [],
-                     "hvals": [], "resnorms": []}
+                     "num_inner": [], "hvals": [], "resnorms": []}
+
+    # event taxonomy matches the reference's primme_event enum
+    # (include/primme_eigs.h:80-89): 0 outer_iteration, 1 inner_iteration,
+    # 2 restart, 3 reset, 4 converged, 5 locked
+    _EV = {0: "OUT", 1: "INN", 2: "RST", 3: "RES", 4: "CNV", 5: "LCK"}
 
     mon = monitor
     if mon is None and printLevel >= 2:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
-                basis_size, hvals, resnorms):
+                basis_size, num_inner, hvals, resnorms):
             # default_monitor-style text reporting (primme_c.c:602)
-            ev = {0: "OUT", 1: "RST", 2: "CNV"}.get(int(event), "?")
+            ev = _EV.get(int(event), "?")
             print(f"{ev} it={int(num_outer):5d} mv={int(num_matvecs):6d} "
                   f"lock={int(num_locked):3d} conv={int(num_converged):3d} "
-                  f"b={int(basis_size):3d} "
+                  f"b={int(basis_size):3d} inner={int(num_inner):4d} "
                   f"val[0]={float(np.asarray(hvals)[0]):+.10e} "
                   f"res[0]={float(np.asarray(resnorms)[0]):.3e}")
 
     if return_history and mon is None:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
-                basis_size, hvals, resnorms):
+                basis_size, num_inner, hvals, resnorms):
             history["event"].append(int(event))
             history["num_outer"].append(int(num_outer))
             history["num_matvecs"].append(int(num_matvecs))
             history["num_locked"].append(int(num_locked))
             history["num_converged"].append(int(num_converged))
             history["basis_size"].append(int(basis_size))
+            history["num_inner"].append(int(num_inner))
             history["hvals"].append(np.asarray(hvals))
             history["resnorms"].append(np.asarray(resnorms))
 

@@ -1109,26 +1109,40 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 it=s.stats.num_outer_iterations, b=s.b, lk=s.num_locked,
                 nc=win.nconv, nu=n_unconv, r0=win.cands.resnorms[0],
                 h0=win.sol.hvals[0], mc=mincn, vq=vtq, mq=minqn, mx=minxn)
+        s = s._replace(best_res=best_res, stall_restarts=stall)
+        s2 = jax.lax.cond(done, lambda s: s, when_active, s)
         if monitor is not None:
-            # Outer-iteration event stream (monitorFun,
-            # src/eigs/auxiliary_eigs_normal.c:446; events enum
-            # include/primme_eigs.h:80-89). Host callback; enabling it
-            # recompiles the loop and adds a host sync per iteration.
+            # Event stream (monitorFun, src/eigs/auxiliary_eigs_normal.c:
+            # 446) with the reference's event taxonomy (primme_event,
+            # include/primme_eigs.h:80-89): 0 outer_iteration,
+            # 1 inner_iteration (aggregated per expansion here — the QMR
+            # loop is one fused program), 2 restart, 3 reset,
+            # 4 converged, 5 locked. One event per outer iteration, most
+            # significant kind wins. Host callback; enabling it recompiles
+            # the loop and adds a host sync per iteration.
             kshow = min(cfg.cwin, cfg.ne)
+            inner_delta = (s2.stats.num_inner_iterations
+                           - s.stats.num_inner_iterations)
+            lock_delta = s2.num_locked - s.num_locked
+            ev = jnp.where(
+                need_reset, 3, jnp.where(
+                    lock_delta > 0, 5, jnp.where(
+                        need_restart & ~done, 2, jnp.where(
+                            win.nconv > 0, 4, jnp.where(
+                                inner_delta > 0, 1, 0)))))
             jax.debug.callback(
                 monitor,
-                event=jnp.where(done, 2, jnp.where(need_restart, 1, 0)),
+                event=ev,
                 num_outer=s.stats.num_outer_iterations,
-                num_matvecs=s.stats.num_matvecs,
-                num_locked=s.num_locked,
+                num_matvecs=s2.stats.num_matvecs,
+                num_locked=s2.num_locked,
                 num_converged=win.nconv,
-                basis_size=s.b,
+                basis_size=s2.b,
+                num_inner=inner_delta,
                 hvals=win.sol.hvals[:kshow],
                 resnorms=win.cands.resnorms[:kshow],
                 ordered=True)
-        s = s._replace(best_res=best_res, stall_restarts=stall)
-        s = jax.lax.cond(done, lambda s: s, when_active, s)
-        return s._replace(done=done)
+        return s2._replace(done=done)
 
     return jax.lax.while_loop(cond, body, s)
 

@@ -47,6 +47,66 @@ def _kernel(offsets, T, H, B, k, vals_ref, xpad_hbm, o_ref, xwin, sem):
     o_ref[:] = acc
 
 
+def _kernel_T(offsets, T, H128, B, vals_ref, xpad_hbm, o_ref, xwin, sem):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        xpad_hbm.at[:, pl.ds(i * T, T + 2 * H128)], xwin, sem)
+    cp.start()
+    cp.wait()
+    acc = vals_ref[0, :][None, :] * xwin[:, pl.ds(H128 + offsets[0], T)]
+    for b in range(1, B):
+        acc += vals_ref[b, :][None, :] * xwin[:, pl.ds(H128 + offsets[b], T)]
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def banded_matmat_pallas_T(offsets: tuple, vals: jax.Array, Xt: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Lane-major packed-DMA banded SpMM: ``Xt [k, n]`` (vectors as ROWS,
+    the long dimension on the 128-lane axis), ``vals [B, n]`` DIA values.
+
+    Mosaic-legal by construction: every HBM slice is along the minor
+    (lane) axis at 128-aligned offsets/sizes (tile T and halo H128 are
+    multiples of 128), so the window DMA moves packed rows with zero
+    lane padding — the layout the column-major ``[n, k<128]`` storage
+    could never provide (see module docstring). The per-diagonal shifts
+    become static VMEM lane slices inside the window.
+
+    Rows out of range contribute zero (Dirichlet edges), matching
+    :class:`primme_tpu.operators.BandedOperator`.
+    """
+    B, n = vals.shape
+    k = Xt.shape[0]
+    H = max(1, max(abs(int(o)) for o in offsets))
+    H128 = -(-H // 128) * 128
+    T = max(1024, 2 * H128)
+    T = -(-T // 128) * 128
+    npad = -(-n // T) * T
+    xpad = jnp.zeros((k, npad + 2 * H128), Xt.dtype)
+    xpad = jax.lax.dynamic_update_slice(xpad, Xt, (0, H128))
+    vpad = (jnp.zeros((B, npad), vals.dtype).at[:, :n].set(vals)
+            if npad != n else vals)
+    nt = npad // T
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_T, tuple(int(o) for o in offsets),
+                          T, H128, B),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((B, T), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, T), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((k, npad), Xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, T + 2 * H128), Xt.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(vpad, xpad)
+    return out[:, :n]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def banded_matmat_pallas(offsets: tuple, vals: jax.Array, X: jax.Array,
                          interpret: bool = False) -> jax.Array:
@@ -73,7 +133,7 @@ def banded_matmat_pallas(offsets: tuple, vals: jax.Array, X: jax.Array,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((B, T), lambda i: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((T, k), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, k), X.dtype),

@@ -296,6 +296,33 @@ def test_dynamic_method(tridiag):
     assert_close(vals, ref[:5])
 
 
+def test_monitor_event_taxonomy(tridiag):
+    """Monitor event kinds follow the reference primme_event enum
+    (include/primme_eigs.h:80-89): 0 outer, 1 inner, 2 restart, 3 reset,
+    4 converged, 5 locked; inner iterations are aggregated per expansion."""
+    A, ref = tridiag
+    events = []
+
+    def mon(event, num_inner, **kw):
+        events.append((int(event), int(num_inner)))
+
+    vals, _, st = eigsh(A, k=6, which="SA", tol=1e-10, method="JDQMR",
+                        ncv=10, monitor=mon, return_stats=True,
+                        raise_for_unconverged=False)
+    assert_close(vals, ref[:6])
+    kinds = {e for e, _ in events}
+    assert kinds <= {0, 1, 2, 3, 4, 5}
+    assert 5 in kinds                     # pairs locked
+    assert any(e == 1 and ni > 0 for e, ni in events)   # inner iterations
+    assert sum(ni for _, ni in events) == st["num_inner_iterations"]
+
+    # soft locking: restarts are not shadowed by lock events
+    events.clear()
+    eigsh(A, k=6, which="SA", tol=1e-10, method="JDQMR", ncv=10,
+          locking=0, monitor=mon, raise_for_unconverged=False)
+    assert 2 in {e for e, _ in events}    # restart events (ncv=10)
+
+
 def test_dynamic_reprobes_idle_method():
     """DYNAMIC must keep measuring the non-current method (the reference
     updates both cost models every iteration, main_iter.c:2194

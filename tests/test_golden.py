@@ -9,30 +9,27 @@ import pytest
 from primme_tpu.testharness import run_config, run_svds_config
 
 TESTS = "/root/reference/tests/tests"
-FULL = bool(os.environ.get("PRIMME_TPU_FULL_GOLDEN"))
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(TESTS),
                                 reason="reference test configs not present")
 
-# The full 20-config sweep takes ~20 min on CPU; the default run covers a
-# representative subset and PRIMME_TPU_FULL_GOLDEN=1 enables the rest.
-EIGS_FAST = ["test_001", "test_002", "test_005", "test_007"]
-EIGS_SLOW = ["test_003", "test_004", "test_006"]
-CPLX_FAST = ["test_101", "test_103", "test_106"]
-CPLX_SLOW = ["test_102", "test_104", "test_105"]
-SVDS_FAST = ["test_201", "test_202", "test_205"]
-SVDS_SLOW = ["test_203", "test_204", "test_206", "test_207"]
+# ALL of the reference's own golden configs run by default (~12 min on
+# CPU, measured); nothing is gated behind an env var.
+EIGS_ALL = ["test_001", "test_002", "test_003", "test_004", "test_005",
+            "test_006", "test_007",
+            "test_101", "test_102", "test_103", "test_104", "test_105",
+            "test_106"]
+SVDS_ALL = ["test_201", "test_202", "test_203", "test_204", "test_205",
+            "test_206", "test_207"]
 
 
-@pytest.mark.parametrize("name",
-                         EIGS_FAST + CPLX_FAST + (EIGS_SLOW + CPLX_SLOW
-                                                  if FULL else []))
+@pytest.mark.parametrize("name", EIGS_ALL)
 def test_eigs_golden(name):
     r = run_config(os.path.join(TESTS, name))
     assert r.ok, repr(r)
 
 
-@pytest.mark.parametrize("name", SVDS_FAST + (SVDS_SLOW if FULL else []))
+@pytest.mark.parametrize("name", SVDS_ALL)
 def test_svds_golden(name):
     if name == "test_204":
         # last known gap: rect.mtx's quadruple of ~1.5e-9 singular values
