@@ -497,6 +497,15 @@ def aslinearoperator(A: Any) -> LinearOperator:
         import scipy.sparse as sp
 
         if sp.issparse(A):
+            # MXU roofline: TPU gathers run ~1 Gnnz/s (measured) while a
+            # dense matmul streams n*m*itemsize at HBM peak, so below
+            # ~8k rows densifying a sparse matrix is FASTER than any
+            # gather-based sparse format, at any realistic sparsity —
+            # the TPU-native answer to "small unstructured matrix".
+            nr, mc = A.shape
+            if (max(nr, mc) <= 8192
+                    and nr * mc * A.dtype.itemsize <= (256 << 20)):
+                return DenseOperator(jnp.asarray(A.toarray()))
             return ELLOperator.from_scipy(A)
     except ImportError:  # pragma: no cover
         pass
@@ -613,6 +622,93 @@ class BandedOperator(LinearOperator):
         return BandedOperator(offsets, vals, shape=A.shape)
 
 
+@jax.tree_util.register_pytree_node_class
+class SumOperator(LinearOperator):
+    """``y = sum_i A_i x`` — composes partial operators. Used for the
+    DIA+ELL hybrid split of a general sparse matrix: the dense diagonals
+    apply at shift speed (near HBM peak), only the scattered remainder
+    pays the gather tax (TPU gathers measure ~1 Gnnz/s)."""
+
+    def __init__(self, ops):
+        self.ops = tuple(ops)
+        self.shape = self.ops[0].shape
+        self.dtype = self.ops[0].dtype
+
+    def _leaves(self):
+        return self.ops
+
+    def _aux(self):
+        return len(self.ops)
+
+    def _init_from(self, leaves, aux):
+        self.ops = tuple(leaves)
+        self.shape = self.ops[0].shape
+        self.dtype = self.ops[0].dtype
+
+    def matmat(self, X):
+        y = self.ops[0].matmat(X)
+        for op in self.ops[1:]:
+            y = y + op.matmat(X)
+        return y
+
+    def rmatmat(self, X):
+        y = self.ops[0].rmatmat(X)
+        for op in self.ops[1:]:
+            y = y + op.rmatmat(X)
+        return y
+
+    def diagonal(self):
+        # a BandedOperator without a 0-offset stores a zero diagonal
+        total = None
+        for op in self.ops:
+            d = op.diagonal()
+            if d is None and isinstance(op, BandedOperator):
+                continue
+            if d is None:
+                return None
+            total = d if total is None else total + d
+        return total
+
+
+def dia_ell_hybrid(A, max_diags: int = 256, min_fill: float = 0.25,
+                   min_coverage: float = 0.5):
+    """Split a sparse matrix into dense-ish diagonals (DIA, shift-based
+    matvec) plus a scattered remainder (ELL, gather): offsets whose
+    occupancy is at least ``min_fill`` become the banded part; accept the
+    split when it covers at least ``min_coverage`` of the nnz. Returns a
+    :class:`SumOperator` or ``None``."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1] or A.nnz == 0:
+        return None
+    C = A.tocoo()
+    d = C.col - C.row
+    offs_all, inv, counts = np.unique(d, return_inverse=True,
+                                      return_counts=True)
+    occ = counts / n
+    good = occ >= min_fill
+    # main diagonal always goes to the banded part (keeps diagonal() exact)
+    good |= offs_all == 0
+    if good.sum() == 0 or good.sum() > max_diags:
+        return None
+    if counts[good].sum() < min_coverage * A.nnz:
+        return None
+    sel = good[inv]
+    offsets = tuple(int(o) for o in offs_all[good])
+    vals = np.zeros((len(offsets), n), dtype=A.dtype)
+    band_of = np.searchsorted(offs_all[good], d[sel])
+    vals[band_of, C.row[sel]] = C.data[sel]
+    banded = BandedOperator(offsets, vals, shape=A.shape)
+    rem_nnz = int((~sel).sum())
+    if rem_nnz == 0:
+        return banded
+    rem = sp.coo_matrix((C.data[~sel], (C.row[~sel], C.col[~sel])),
+                        shape=A.shape)
+    return SumOperator([banded, ELLOperator.from_scipy(rem)])
+
+
 def rcm_banded(A, max_diags: int = 256, fill_factor: float = 32.0,
                mem_cap_bytes: int = 1 << 30):
     """Turn a scipy sparse matrix into a :class:`BandedOperator` if its
@@ -649,6 +745,14 @@ def rcm_banded(A, max_diags: int = 256, fill_factor: float = 32.0,
     Ap = A[perm][:, perm]
     if _accept(Ap) is not None:
         return BandedOperator.from_scipy(Ap.todia()), perm
+    # partial-band hybrid: dense diagonals at shift speed + gather
+    # remainder (most of the nnz dodge the ~1 Gnnz/s gather tax)
+    h = dia_ell_hybrid(A, max_diags=max_diags)
+    if h is not None:
+        return h, None
+    hp = dia_ell_hybrid(Ap, max_diags=max_diags)
+    if hp is not None:
+        return hp, perm
     return None
 
 

@@ -255,7 +255,32 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                     lows = np.sqrt(np.abs(np.maximum(
                         svh[rest_idx] - resh[rest_idx], 0.0)
                         * svh[rest_idx]))
-                    tsh2 = tuple(sorted(np.maximum(lows, min_val)))
+                    # A stage-1 value at the normal-equations machine
+                    # floor carries no information: sigma'^2 <=
+                    # ~eps_mach ||A||^2 is indistinguishable from ANY
+                    # sigma in [0, sqrt(eps_mach)||A||] (rect.mtx's
+                    # 1.5e-9 quadruple reads as ~2e-8 garbage), so its
+                    # lower bound must drop to the min_val floor or the
+                    # closest_geq target walks right past the true
+                    # smallest values (the reference lands on the same
+                    # floor because its sigma-scaled rnorm exceeds
+                    # sigma' there, primme_svds_c.c:723-735).
+                    at_floor = (svh[rest_idx] ** 2
+                                <= 10.0 * meps * max(anorm2, 1e-300) ** 2)
+                    lows = np.where(at_floor, 0.0, lows)
+                    # ONE shift — the smallest sound lower bound — not the
+                    # reference's per-pair ascending ladder
+                    # (primme_svds_c.c:739): the ladder index advances
+                    # with numLocked, which assumes pairs lock
+                    # smallest-first; when an easy large pair arrives
+                    # converged from the stage-1 guesses it locks first,
+                    # the ladder steps PAST the hard small values, and
+                    # closest_geq then sorts them last — evicting the
+                    # true smallest triplet from the basis (observed on
+                    # rect.mtx's 1.5e-9 quadruple, test_204). With a
+                    # single floor shift, closest_geq is plain ascending
+                    # order above the floor, whatever the lock order.
+                    tsh2 = (float(max(np.min(lows), min_val)),)
                 else:
                     tsh2 = (min_val,)
                 tgt2 = Target.closest_geq

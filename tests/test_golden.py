@@ -31,12 +31,5 @@ def test_eigs_golden(name):
 
 @pytest.mark.parametrize("name", SVDS_ALL)
 def test_svds_golden(name):
-    if name == "test_204":
-        # last known gap: rect.mtx's quadruple of ~1.5e-9 singular values
-        # at kappa ~ 2e10 and eps = 7e-12 — the per-pair refined
-        # extraction recovers the cluster on test_206/207 but the
-        # smallest member of this quadruple still hides below the
-        # augmented operator's resolution at this budget
-        pytest.xfail("rect.mtx 1e-9 sval quadruple: open gap")
     r = run_svds_config(os.path.join(TESTS, name))
     assert r.ok, repr(r)
