@@ -7,7 +7,7 @@ Jacobi preconditioner, smallest pairs, block GD+k): wall-clock to converge
 k=10 smallest eigenpairs of a 64^3 (262,144-row) Laplacian to
 ||r|| <= 1e-5 ||A|| in f32 on one chip. ``vs_baseline`` compares against a
 reference wall-time anchor measured for the upstream PRIMME C library
-(double precision, same operator/k/tol семантics) — values > 1 are faster
+(double precision, same operator/k/tol semantics) — values > 1 are faster
 than the anchor.
 """
 

@@ -13,7 +13,7 @@ from .params import (PrimmeParams, Target, Projection, InitBasisMode,
                      resolve_defaults, set_member, get_member, member_info,
                      member_names, display_params)
 from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
-                        ELLOperator, BandedOperator, Stencil3DOperator,
+                        ELLOperator, BlockELLOperator, BandedOperator, Stencil3DOperator,
                         FunctionOperator, JacobiPrecond, ChebyshevPrecond,
                         aslinearoperator,
                         apply_precond)
@@ -29,6 +29,7 @@ __all__ = [
     "Method", "Projectors", "set_method", "resolve_defaults", "set_member",
     "get_member", "member_info", "member_names", "display_params",
     "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
+    "BlockELLOperator",
     "BandedOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
     "ChebyshevPrecond",

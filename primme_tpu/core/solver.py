@@ -185,6 +185,14 @@ class SolveConfig(NamedTuple):
     projection: Projection
     hermitian: bool
     init_random: bool
+    # primme_init_user (init.c:193-196): basis = user guesses padded with
+    # random vectors up to maxBlockSize only (no Krylov fill to mrs)
+    init_user: bool = False
+    # ||B|| / ||B^-1|| user estimates for generalized problems:
+    # problemNorm = aNorm * invBNorm (auxiliary_eigs.c:567), and the
+    # deltaEig roundoff floor scales by 1/sqrt(BNorm) (auxiliary_eigs.c:625)
+    b_norm: float = 0.0
+    inv_b_norm: float = 0.0
     # Half-precision basis storage (set by setup_solver from the work
     # dtype, never by make_config): solve the projected problem as the
     # generalized pencil H y = theta (V^H B V) y because a bf16/f16 basis
@@ -213,7 +221,9 @@ def make_config(p: PrimmeParams) -> SolveConfig:
         leftQ=p.projectors.LeftQ, leftX=p.projectors.LeftX,
         skewQ=p.projectors.SkewQ, rightQ=p.projectors.RightQ,
         projection=p.projection, hermitian=p.hermitian,
-        init_random=(p.init_basis_mode == InitBasisMode.random))
+        init_random=(p.init_basis_mode == InitBasisMode.random),
+        init_user=(p.init_basis_mode == InitBasisMode.user),
+        b_norm=p.b_norm, inv_b_norm=p.inv_b_norm)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +237,14 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     Each A-application doubles as the W panel for the block it was applied
     to, so the whole init costs exactly ``b0`` matvec columns."""
     n, mmax, blk = cfg.n, cfg.mmax, cfg.blk
-    b0 = max(min(cfg.mrs, mmax), min(blk, mmax))
+    if cfg.init_user:
+        # primme_init_user (init.c:193-196): the basis is the user guesses,
+        # padded with random vectors only up to maxBlockSize — no Krylov
+        # continuation to minRestartSize.
+        nguess = v0.shape[1] if v0 is not None else 0
+        b0 = min(max(nguess, blk), mmax)
+    else:
+        b0 = max(min(cfg.mrs, mmax), min(blk, mmax))
     nb = -(-b0 // blk)  # ceil
     # over-allocate to a block multiple so the last (partial) block's panel
     # write never clamps onto earlier columns; sliced back to mmax below
@@ -258,10 +275,11 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
         V, W, BV, X, key, nrand = carry
         key, kk = jax.random.split(key)
         bi = i * blk
-        if cfg.init_random:
+        if cfg.init_random or cfg.init_user:
             # primme_init_random (include/primme_eigs.h:64-69): fill the
             # initial basis with random vectors instead of Krylov powers
-            # (the LOBPCG presets prescribe this)
+            # (the LOBPCG presets prescribe this). init_user pads partial
+            # guess blocks the same way (init.c:198-203).
             key, kr = jax.random.split(key)
             X = _rand_block(kr, n, blk, cdt)
         if v0pad is not None:
@@ -372,7 +390,12 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     finite = jnp.where(active, jnp.where(jnp.isfinite(hl_c), hl_c, 0), 0)
     anorm_est = jnp.maximum(s.stats.anorm_estimate,
                             jnp.max(jnp.abs(finite)))
-    anorm = (jnp.asarray(cfg.a_norm, anorm_est.dtype)
+    # problemNorm (auxiliary_eigs.c:567): |B\A| — for generalized problems
+    # with both user estimates, aNorm * invBNorm; otherwise the largest
+    # |Ritz value| seen tracks |B\A| directly (Ritz values of the pencil).
+    user_pnorm = (cfg.a_norm * cfg.inv_b_norm
+                  if has_B and cfg.inv_b_norm > 0 else cfg.a_norm)
+    anorm = (jnp.asarray(user_pnorm, anorm_est.dtype)
              if cfg.a_norm > 0 else anorm_est)
     # Adaptive accuracy floor: once a pair has converged at some residual
     # level (or accumulated restart roundoff reaches it), later pairs are
@@ -704,6 +727,10 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     nres = s.stats.num_restarts + 1
     anorm_r = jnp.maximum(s.stats.anorm_estimate, 1e-30)
     drift = jnp.sqrt(nres.astype(anorm_r.dtype)) * meps_r * anorm_r
+    if cfg.b_norm > 0:
+        # deltaEig (auxiliary_eigs.c:625-640): for generalized problems the
+        # resolvable-eigenvalue floor scales as problemNorm/sqrt(|B|)*eps
+        drift = drift / jnp.sqrt(jnp.asarray(cfg.b_norm, drift.dtype))
     mct = jnp.maximum(s.stats.max_conv_tol, drift)
     if cfg.locking:
         mct = jnp.maximum(mct, jnp.max(jnp.where(

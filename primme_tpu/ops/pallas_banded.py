@@ -16,13 +16,18 @@ eigensolver uses (k = 1..16). This kernel instead:
 ``H = max|off|``; the wrapper zero-pads X by H on both sides so every
 window read is in-bounds.
 
-STATUS: experimental. Mosaic currently refuses HBM slices whose minor
-dimension is not 128-aligned ("Slice shape along dimension 1 must be
-aligned to tiling (128)"), i.e. X would have to be stored lane-major
-([k, n]) for the packed-DMA win to materialize — that layout change is
-tracked for a future round. The kernel is validated in interpret mode and
-kept as the blueprint; BandedOperator uses the XLA pad-shift path, which
-measures ~200 Gnnz/s on one chip.
+STATUS: the column-major kernel (`banded_matmat_pallas`) hits the Mosaic
+128-lane constraint — HBM slices whose minor dimension is not 128-aligned
+("Slice shape along dimension 1 must be aligned to tiling (128)") are
+refused, so it runs in interpret mode only. The lane-major variant
+(`banded_matmat_pallas_T`, X stored ``[k, n]``) is Mosaic-legal by
+construction and VALIDATED ON REAL TPU HARDWARE (v5e, 2026-08-17):
+compiles clean and matches the XLA formulation bit-exactly at
+n=2^20, B=7, blk∈{1,4,8}. At those sizes every path measures at the
+~1.4 ms axon dispatch floor, so path selection stays end-to-end-driven:
+BandedOperator keeps the XLA pad-shift path (which already fuses the
+whole diagonal sum into one kernel) until a full lane-major solver
+layout makes the packed-DMA win visible end to end.
 """
 
 from __future__ import annotations

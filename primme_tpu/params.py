@@ -124,7 +124,8 @@ class PrimmeParams:
     target_shifts: Tuple[float, ...] = ()
     eps: float = 0.0                      # 0 -> 1e4 * macheps (primme_c.c:356-360)
     a_norm: float = 0.0                   # 0 -> estimate during iteration
-    b_norm: float = 0.0
+    b_norm: float = 0.0                   # ||B|| estimate (deltaEig floor)
+    inv_b_norm: float = 0.0               # ||B^-1||: problemNorm = aNorm*invBNorm
 
     # Basis / restart
     max_basis_size: int = 0
@@ -340,6 +341,7 @@ _REFERENCE_ALIASES = {
     "numEvals": "num_evals",
     "aNorm": "a_norm",
     "BNorm": "b_norm",
+    "invBNorm": "inv_b_norm",
     "maxBasisSize": "max_basis_size",
     "minRestartSize": "min_restart_size",
     "maxBlockSize": "max_block_size",

@@ -408,3 +408,42 @@ def test_span_exhaustion_no_fake_pairs():
                        maxiter=4000, raise_for_unconverged=False)
     assert np.min(vals) > 0.5, f"fake zero pair: {vals}"
     assert np.abs(np.sort(vals) - ref[:k]).max() < 1e-7 * ref[-1]
+
+
+def test_init_basis_mode_user(tridiag):
+    """primme_init_user (init.c:193-196): the initial basis is the user
+    guesses padded with random vectors up to maxBlockSize — no Krylov
+    fill. With exact eigenvector guesses this converges almost
+    immediately; krylov mode from the same guesses does more work."""
+    from primme_tpu.core.solver import solve_eigs, setup_solver, make_config
+    from primme_tpu.params import (PrimmeParams, Target, InitBasisMode,
+                                   resolve_defaults)
+    from primme_tpu.operators import aslinearoperator
+    import jax.numpy as jnp
+
+    A, ref = tridiag
+    w, v = np.linalg.eigh(A.toarray())
+    p = PrimmeParams(n=A.shape[0], num_evals=2, target=Target.smallest,
+                     eps=1e-10, init_basis_mode=InitBasisMode.user)
+    p = resolve_defaults(p)
+    cfg = make_config(p)
+    assert cfg.init_user
+    res = solve_eigs(aslinearoperator(A), p,
+                     v0=jnp.asarray(v[:, :2], jnp.float64))
+    assert np.abs(np.sort(np.asarray(res.evals)) - ref[:2]).max() < 1e-8
+    # exact guesses: both pairs converge within a few outer iterations
+    assert int(res.stats.num_matvecs) <= 40
+
+
+def test_b_norm_inv_b_norm_plumbing(tridiag):
+    """BNorm/invBNorm (auxiliary_eigs.c:567,625): accepted through the
+    reflection surface and consumed as the generalized problem norm."""
+    from primme_tpu.params import PrimmeParams, set_member, get_member
+    from primme_tpu.core.solver import make_config
+
+    p = PrimmeParams(n=10, num_evals=1)
+    p = set_member(p, "BNorm", 4.0)
+    p = set_member(p, "invBNorm", 0.5)
+    assert get_member(p, "b_norm") == 4.0
+    cfg = make_config(p)
+    assert cfg.b_norm == 4.0 and cfg.inv_b_norm == 0.5

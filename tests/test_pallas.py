@@ -33,3 +33,21 @@ def test_banded_pallas_lane_major_interpret():
     y_ref = np.asarray(BandedOperator(offs, vals).matmat(X))
     y_pal = np.asarray(banded_matmat_pallas_T(offs, vals, X.T, True)).T
     assert np.abs(y_ref - y_pal).max() < 1e-4
+
+
+def test_banded_pallas_lane_major_hardware():
+    """Real-Mosaic compile + correctness when a TPU is attached (skipped
+    on CPU CI — the conftest pins JAX_PLATFORMS=cpu there)."""
+    import pytest
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU attached")
+    rng = np.random.default_rng(2)
+    n, k = 1 << 16, 8
+    offs = (0, 1, -1, 64, -64)
+    vals = jnp.asarray(rng.normal(size=(len(offs), n)), jnp.float32)
+    Xt = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    y_hw = np.asarray(banded_matmat_pallas_T(offs, vals, Xt))
+    y_ref = np.asarray(BandedOperator(offs, vals).matmat(Xt.T)).T
+    assert np.abs(y_hw - y_ref).max() < 1e-4
