@@ -51,30 +51,43 @@ def main():
 
 def main_k100():
     """BASELINE.md north-star: 128^3 Laplacian, 100 smallest pairs, Jacobi,
-    block GD+k with hard locking (f32 tolerance)."""
+    hard locking (f32 tolerance). JDQMR_ETol by default (the reference's
+    min-time method); the solve is host-segmented so no single device
+    program runs for minutes (the remote runtime imposes an execution
+    deadline — see solve_eigs(segment_outer=...))."""
     import jax
     import jax.numpy as jnp
     from primme_tpu import (PrimmeParams, Method, set_method,
                             Stencil3DOperator, JacobiPrecond)
     from primme_tpu.core.solver import solve_eigs
+    from primme_tpu.core.inner import jdqmr_inner_solve
 
     nx = 128
     n = nx ** 3
     k = 100
+    mbs = int(os.environ.get("K100_MBS", "32"))
+    blk = int(os.environ.get("K100_BLK", "2"))
+    meth = os.environ.get("K100_METHOD", "JDQMR_ETol")
+    seg = int(os.environ.get("K100_SEG", "150"))
     A = Stencil3DOperator(nx, nx, nx, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
-    p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=48,
-                     max_block_size=4, max_matvecs=60000, locking=1)
-    p = set_method(Method.GD_Olsen_plusK, p, has_precond=True)
-    v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 4)),
+    p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=mbs,
+                     max_block_size=blk, max_matvecs=120000, locking=1)
+    p = set_method(getattr(Method, meth), p, has_precond=True)
+    inner = jdqmr_inner_solve if "JDQMR" in meth or "RQI" in meth else None
+    v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, blk)),
                      jnp.float32)
-    run = jax.jit(lambda v0: solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32))
+
+    def run():
+        return solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32,
+                          inner_solve=inner, segment_outer=seg)
+
     t0 = time.perf_counter()
-    res = run(v0)
+    res = run()
     jax.block_until_ready(res.evals)
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    res = run(v0)
+    res = run()
     jax.block_until_ready(res.evals)
     wall = time.perf_counter() - t0
 
@@ -84,8 +97,8 @@ def main_k100():
            + ax(nx)[None, None, :m]).ravel()
     lam = np.sort(lam)[:k]
     evals = np.sort(np.asarray(res.evals))
-    print(f"128^3 (n={n}) k=100 jacobi GD_Olsen_plusK lock f32: {wall:.3f}s "
-          f"mv={int(res.stats.num_matvecs)} "
+    print(f"128^3 (n={n}) k=100 mbs={mbs} blk={blk} {meth} lock f32: "
+          f"{wall:.3f}s mv={int(res.stats.num_matvecs)} "
           f"locked={int(res.stats.num_locked)} "
           f"max_res={float(np.asarray(res.resnorms).max()):.2e} "
           f"eval_err={np.abs(evals - lam).max():.2e}")

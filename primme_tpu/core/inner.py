@@ -85,7 +85,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
     vmaskf = valid.astype(dtype)[None, :]
 
     has_lockedQ = cfg.locking or cfg.noc > 0
-    Q, BQ = s.evecs, s.Bevecs
+    Q, BQ = s.evecs, (s.Bevecs if B is not None else s.evecs)
 
     # --- skew-Q projector state (factorize.c:83-183) ------------------------
     # When SkewQ and a preconditioner are set (JDQR), the right projector on
@@ -367,7 +367,7 @@ def normal_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
     vmaskf = valid.astype(dtype)[None, :]
 
     has_lockedQ = cfg.locking or cfg.noc > 0
-    Q, BQ = s.evecs, s.Bevecs
+    Q, BQ = s.evecs, (s.Bevecs if B is not None else s.evecs)
 
     def project(D):
         if cfg.leftQ and has_lockedQ:

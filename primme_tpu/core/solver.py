@@ -252,7 +252,11 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     cdt = la.compute_dtype(dtype)   # block math runs here; stores round
     V = jnp.zeros((n, mal), dtype)
     W = jnp.zeros((n, mal), dtype)
-    BV = V if B is None else jnp.zeros((n, mal), dtype)
+    # When B is None, BV is carried as a zero-width placeholder instead of
+    # a duplicate of V: a [n, 0] leaf costs nothing, while a same-valued
+    # second leaf in the while/fori carries doubles HBM for every n-sized
+    # buffer (XLA cannot alias distinct carry leaves).
+    BV = jnp.zeros((n, 0), dtype) if B is None else jnp.zeros((n, mal), dtype)
 
     key, k0 = jax.random.split(key)
     X = _rand_block(k0, n, blk, cdt)
@@ -269,7 +273,8 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
         v0pad = v0pad.at[:, :k0g].set(v0[:, :k0g].astype(cdt))
         X = jax.lax.dynamic_slice(v0pad, (0, 0), (n, blk))
 
-    locked = (evecs, Bevecs) if cfg.noc > 0 else None
+    locked = ((evecs, Bevecs if B is not None else evecs)
+              if cfg.noc > 0 else None)
 
     def body(i, carry):
         V, W, BV, X, key, nrand = carry
@@ -288,9 +293,10 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
                 (n, blk))
             X = jnp.where(i < ngb, gb, X)
         nact = jnp.minimum(blk, b0 - bi).astype(jnp.int32)
-        res = block_ortho(X, (V, BV), locked, nact, kk, Bop=B)
+        res = block_ortho(X, (V, BV if B is not None else V), locked,
+                          nact, kk, Bop=B)
         V2 = _dus(V, res.X.astype(V.dtype), 0, bi)
-        BV2 = V2 if B is None else _dus(BV, res.BX.astype(BV.dtype), 0, bi)
+        BV2 = BV if B is None else _dus(BV, res.BX.astype(BV.dtype), 0, bi)
         Y = A.matmat(res.X)
         W2 = _dus(W, Y.astype(W.dtype), 0, bi)
         return (V2, W2, BV2, Y.astype(cdt), key,
@@ -299,7 +305,7 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
     V, W, BV, _, key, nrand = jax.lax.fori_loop(
         0, nb, body, (V, W, BV, X, key, jnp.zeros((), jnp.int32)))
     V, W = V[:, :mmax], W[:, :mmax]
-    BV = V if B is None else BV[:, :mmax]
+    BV = BV if B is None else BV[:, :mmax]
     b = jnp.asarray(b0, jnp.int32)
     H = gram(V, W)  # inactive rows/cols exactly zero already
     if cfg.hermitian:
@@ -432,7 +438,7 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         # A pair whose residual component OUTSIDE the locked space is below
         # tol is accepted (its remaining error lies in locked directions).
         proj = gram(s.evecs, cands.R)                   # [lockmax, c]
-        Rp = cands.R - bcomb(s.Bevecs, proj)
+        Rp = cands.R - bcomb(s.Bevecs if has_B else s.evecs, proj)
         projres = jnp.real(jnp.linalg.norm(Rp, axis=0))
         attainable = jnp.sqrt(1.0 + cfg.noc
                               + s.num_locked.astype(tol.dtype)) * tol
@@ -644,7 +650,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
                        jnp.where(lvalid[None, :], BXl,
                                  _ds(s.Bevecs, 0, off, (cfg.n, c))
                                  ).astype(s.Bevecs.dtype), 0, off)
-                  if has_B else evecs)
+                  if has_B else s.Bevecs)
         locked_vals = jax.lax.dynamic_update_slice(
             s.locked_vals, jnp.where(
                 lvalid, laml,
@@ -711,7 +717,7 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     # --- apply in coefficient space --------------------------------------
     V = bcomb(s.V, Cfull).astype(s.V.dtype)
     W = bcomb(s.W, Cfull).astype(s.W.dtype)
-    BV = bcomb(s.BV, Cfull).astype(s.BV.dtype) if has_B else V
+    BV = bcomb(s.BV, Cfull).astype(s.BV.dtype) if has_B else s.BV
     H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
@@ -765,10 +771,13 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
 def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     key, kk, kr = jax.random.split(s.key, 3)
     X = _rand_block(kr, cfg.n, cfg.blk, la.compute_dtype(s.V.dtype))
-    locked = ((s.evecs, s.Bevecs) if (cfg.noc > 0 or cfg.locking) else None)
-    res = block_ortho(X, (s.V, s.BV), locked, _i32(cfg.blk), kk, Bop=B)
+    locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
+              if (cfg.noc > 0 or cfg.locking) else None)
+    res = block_ortho(X, (s.V, s.BV if B is not None else s.V), locked,
+                      _i32(cfg.blk), kk, Bop=B)
     V = _dus(s.V, res.X.astype(s.V.dtype), 0, 0)
-    BV = _dus(s.BV, res.BX.astype(s.BV.dtype), 0, 0) if B is not None else V
+    BV = (_dus(s.BV, res.BX.astype(s.BV.dtype), 0, 0)
+          if B is not None else s.BV)
     Y = A.matmat(res.X)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, 0)
     H = gram(V, Y)
@@ -829,9 +838,10 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             n_prec = nc.astype(jnp.int32)
 
     key, kk = jax.random.split(s.key)
-    locked = ((s.evecs, s.Bevecs)
+    locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
-    ores = block_ortho(D, (s.V, s.BV), locked, nc, kk, Bop=B)
+    ores = block_ortho(D, (s.V, s.BV if B is not None else s.V), locked,
+                       nc, kk, Bop=B)
     # A direction (and its random replacement) can collapse to zero when
     # span(V) + locked already exhausts the space; such columns are zeroed
     # by block_ortho's second pass and MUST NOT be counted as basis
@@ -855,7 +865,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         o, key = args
         key, k1, k2 = jax.random.split(key, 3)
         rnd = _rand_block(k1, cfg.n, blk, s.V.dtype)
-        o2 = block_ortho(rnd, (s.V, s.BV), locked, nc, k2, Bop=B)
+        o2 = block_ortho(rnd, (s.V, s.BV if B is not None else s.V),
+                         locked, nc, k2, Bop=B)
         o2, srv2 = _survivors(o2)
         return o2, srv2, key
 
@@ -872,7 +883,7 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
 
     V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
     BV = (_dus(s.BV, ores.BX.astype(s.BV.dtype), 0, s.b)
-          if B is not None else V)
+          if B is not None else s.BV)
     Y = A.matmat(ores.X)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
     hc = gram(V, Y)                      # [mmax, blk] new columns of H
@@ -921,7 +932,8 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     # two CGS passes against the locked vectors, then CholeskyQR
     if cfg.locking or cfg.noc > 0:
         for _ in range(2):
-            V = V - bcomb(s.evecs, gram(s.Bevecs, V))
+            V = V - bcomb(s.evecs,
+                          gram(s.Bevecs if B is not None else s.evecs, V))
     G = gram(V, B.matmat(V) if B is not None else V)
     d = jnp.real(jnp.diagonal(G))
     amask = col_mask(cfg.mmax, s.b)
@@ -933,7 +945,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     L = jnp.linalg.cholesky(Gs)
     V = _herm(jax.scipy.linalg.solve_triangular(L, _herm(V), lower=True))
     V = (V * keep[None, :].astype(V.dtype)).astype(s.V.dtype)
-    BV = (B.matmat(V) if B is not None else V).astype(s.BV.dtype)
+    BV = B.matmat(V).astype(s.BV.dtype) if B is not None else s.BV
     W = A.matmat(V).astype(s.W.dtype)
     H = gram(V, W)
     if cfg.hermitian:
@@ -944,7 +956,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
                         + _BIG * (1 - keep.real.astype(jnp.int32)))
     V = V[:, order]
     W = W[:, order]
-    BV = BV[:, order] if B is not None else V
+    BV = BV[:, order] if B is not None else BV
     H = H[order][:, order]
     has_locked = cfg.locking or cfg.noc > 0
     stats = s.stats._replace(
@@ -995,11 +1007,20 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
                 "precision; half-precision basis supports RR only")
         cfg = cfg._replace(orth_explicit_I=True,
                            eps_floor=4.0 * machine_eps(dtype))
-    n, mmax = cfg.n, cfg.mmax
     if key is None:
         key = jax.random.key(p.rng_seed)
-
     shifts = _shift_array(p, rdt)
+    s0 = _build_state_jit(cfg, A, B, v0, ortho_const, key, dtype, shard)
+    return cfg, shifts, s0
+
+
+def _build_state(cfg: SolveConfig, A, B, v0, ortho_const, key, dtype,
+                 shard) -> SolverState:
+    """Array-building half of :func:`setup_solver` (jittable; ``cfg``,
+    ``dtype`` and ``shard`` static)."""
+    n, mmax = cfg.n, cfg.mmax
+    cdt = la.compute_dtype(dtype)
+    rdt = real_dtype(cdt)
 
     evecs0 = jnp.zeros((n, cfg.lockmax), dtype)
     if ortho_const is not None:
@@ -1007,7 +1028,8 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         assert noc == cfg.noc, (noc, cfg.noc)
         evecs0 = evecs0.at[:, :noc].set(ortho_const.astype(dtype))
     if B is None:
-        Bevecs0 = evecs0
+        # zero-width placeholder (see init_basis): never a duplicate leaf
+        Bevecs0 = jnp.zeros((n, 0), dtype)
     else:
         Bevecs0 = (evecs0.at[:, :cfg.noc].set(
             B.matmat(evecs0[:, :cfg.noc])) if cfg.noc > 0 else evecs0)
@@ -1018,8 +1040,8 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         # stays replicated; XLA inserts psum for every Gram product — the
         # reference's globalSum callback (src/eigs/auxiliary_eigs.c:391).
         evecs0 = jax.lax.with_sharding_constraint(evecs0, shard)
-        Bevecs0 = (jax.lax.with_sharding_constraint(Bevecs0, shard)
-                   if B is not None else evecs0)
+        if B is not None:
+            Bevecs0 = jax.lax.with_sharding_constraint(Bevecs0, shard)
 
     V, W, BV, H, b, key, nmv0, nrand0 = init_basis(
         A, B, cfg, key, evecs0, Bevecs0, v0, dtype)
@@ -1028,8 +1050,6 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         W = jax.lax.with_sharding_constraint(W, shard)
         if B is not None:
             BV = jax.lax.with_sharding_constraint(BV, shard)
-        else:
-            BV = V
 
     b0 = max(min(cfg.mrs, mmax), min(cfg.blk, mmax))
     nb0 = -(-b0 // cfg.blk)
@@ -1053,7 +1073,13 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         prev_ritz=jnp.zeros((cfg.lockmax + cfg.cwin,), rdt),
         num_prev_ritz=jnp.zeros((), jnp.int32), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
-    return cfg, shifts, s0
+    return s0
+
+
+# state building is jitted (static cfg/dtype/shard) so host-driven
+# segmented solves don't pay per-op eager dispatch; inside a user jit the
+# nested call simply inlines.
+_build_state_jit = jax.jit(_build_state, static_argnums=(0, 6, 7))
 
 
 def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
@@ -1219,10 +1245,18 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
 def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                ortho_const=None, key=None, inner_solve=None,
                dtype=None, debug=False, monitor=None,
-               shard=None, convtest=None) -> EigsResult:
+               shard=None, convtest=None, segment_outer=None) -> EigsResult:
     """Run the eigensolver. All operators are
     :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
     (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
+
+    ``segment_outer``: when set, the while loop is re-entered from the
+    host every that-many outer iterations instead of running the whole
+    solve as one device program. The solver state stays on device between
+    segments (one scalar sync per segment); results are bit-identical.
+    Use for very long solves — bounds single-program device time (some
+    runtimes impose execution deadlines) and gives the host scheduler a
+    heartbeat. Not jittable (host loop); incompatible with tracing.
 
     This is the analogue of ``wrapper_Sprimme`` + ``main_iter_Sprimme``
     (``src/eigs/primme_c.c:278``, ``src/eigs/main_iter.c:176``).
@@ -1230,9 +1264,23 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     cfg, shifts, s0 = setup_solver(A, p, B=B, v0=v0,
                                    ortho_const=ortho_const, key=key,
                                    dtype=dtype, shard=shard)
-    s = _run_segment_jit(cfg, A, B, K, inner_solve, shifts, s0,
-                         jnp.asarray((1 << 31) - 1, jnp.int32), debug,
-                         monitor, convtest)
+    if segment_outer is None:
+        s = _run_segment_jit(cfg, A, B, K, inner_solve, shifts, s0,
+                             jnp.asarray((1 << 31) - 1, jnp.int32), debug,
+                             monitor, convtest)
+    else:
+        s = s0
+        seg_end = 0
+        while True:
+            seg_end += int(segment_outer)
+            s = _run_segment_jit(cfg, A, B, K, inner_solve, shifts, s,
+                                 jnp.asarray(seg_end, jnp.int32), debug,
+                                 monitor, convtest)
+            # host-side copy of run_segment's cond (minus the seg_end cap)
+            if bool(s.done) \
+                    or int(s.stats.num_outer_iterations) >= cfg.max_outer \
+                    or int(s.stats.num_matvecs) >= cfg.max_matvecs:
+                break
     return _extract_jit(cfg, s, shifts, B is not None)
 
 
