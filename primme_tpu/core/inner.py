@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import ConvTest, Target
-from .linalg import real_dtype, machine_eps, gram, bcomb
+from .linalg import real_dtype, machine_eps, gram, bcomb, prefix_project
 
 
 def _dots(X, Y):
@@ -86,6 +86,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
     has_lockedQ = cfg.locking or cfg.noc > 0
     Q, BQ = s.evecs, (s.Bevecs if B is not None else s.evecs)
+    nlockq = (cfg.noc + s.num_locked).astype(jnp.int32)
 
     # --- skew-Q projector state (factorize.c:83-183) ------------------------
     # When SkewQ and a preconditioner are set (JDQR), the right projector on
@@ -109,7 +110,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         BD = B.matmat(D) if B is not None else D
         W = W - BD * shift[None, :].astype(dtype)
         if cfg.leftQ and has_lockedQ:
-            W = W - bcomb(BQ, gram(Q, W))
+            W = prefix_project(BQ, Q, W, nlockq)
         if cfg.leftX:
             W = W - BX * jnp.sum(X.conj() * W, axis=0)[None, :]
         return W
@@ -130,7 +131,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
             ov = gram(Q, Y)
             Y = Y - bcomb(Qhat, jax.scipy.linalg.lu_solve(skew_lu, ov))
         elif cfg.rightQ and has_lockedQ:
-            Y = Y - bcomb(BQ, gram(Q, Y))
+            Y = prefix_project(BQ, Q, Y, nlockq)
         if KinvBx is not None:
             ov = jnp.sum(X.conj() * Y, axis=0)
             Y = Y - KinvBx * (ov / xKinvBx)[None, :]
@@ -368,10 +369,11 @@ def normal_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
     has_lockedQ = cfg.locking or cfg.noc > 0
     Q, BQ = s.evecs, (s.Bevecs if B is not None else s.evecs)
+    nlockq = (cfg.noc + s.num_locked).astype(jnp.int32)
 
     def project(D):
         if cfg.leftQ and has_lockedQ:
-            D = D - bcomb(Q, gram(Q, D))
+            D = prefix_project(Q, Q, D, nlockq)
         if cfg.leftX:
             D = D - X * jnp.sum(X.conj() * D, axis=0)[None, :]
         return D

@@ -92,6 +92,78 @@ def bcomb(V: jax.Array, C: jax.Array) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST).astype(cd)
 
 
+def _prefix_buckets(width: int, floor: int = 16):
+    """Static column-count ladder 0, floor, 2*floor, ..., width."""
+    ws = [0]
+    w = floor
+    while w < width:
+        ws.append(w)
+        w *= 2
+    ws.append(width)
+    return ws
+
+
+def prefix_project(P: jax.Array, C: jax.Array, X: jax.Array, count,
+                   floor: int = 16) -> jax.Array:
+    """``X - P_w (C_w^H X)`` where ``w`` is the smallest bucket of static
+    column counts covering the traced ``count``.
+
+    Columns ``>= count`` of ``P`` and ``C`` MUST be exactly zero — the
+    result is then identical to the full-width projection while touching
+    only O(count) HBM. The reference operates on ``[n, numLocked]`` views
+    directly (``src/eigs/ortho.c:249``, ``inner_solve.c:769``); XLA's
+    static shapes would otherwise force every locked-space projection to
+    stream the whole ``lockmax`` allocation even with zero pairs locked.
+    """
+    W = P.shape[1]
+    if W <= floor:
+        return X - bcomb(P, gram(C, X))
+    ws = _prefix_buckets(W, floor)
+
+    def mk(w):
+        if w == 0:
+            return lambda X: X
+        return lambda X: X - bcomb(P[:, :w], gram(C[:, :w], X))
+
+    idx = jnp.sum((count > jnp.asarray(ws, jnp.int32)).astype(jnp.int32))
+    return jax.lax.switch(idx, [mk(w) for w in ws], X)
+
+
+def prefix_project2(Q: jax.Array, BQ: jax.Array, X: jax.Array,
+                    BX: jax.Array, count, same: bool,
+                    floor: int = 16) -> Tuple[jax.Array, jax.Array]:
+    """Project ``X`` (and ``BX``, sharing the overlap ``BQ_w^H X``) out of
+    the first ``count`` columns of ``(Q, BQ)`` with bucketed reads — the
+    B-ortho analogue of :func:`prefix_project`. ``same=True`` means ``BX``
+    aliases ``X`` (no mass matrix)."""
+    W = Q.shape[1]
+
+    def full(X, BX):
+        oq = gram(BQ, X)
+        X2 = X - bcomb(Q, oq)
+        BX2 = X2 if same else BX - bcomb(BQ, oq)
+        return X2, BX2
+
+    if W <= floor:
+        return full(X, BX)
+    ws = _prefix_buckets(W, floor)
+
+    def mk(w):
+        if w == 0:
+            return lambda args: args
+
+        def f(args):
+            X, BX = args
+            oq = gram(BQ[:, :w], X)
+            X2 = X - bcomb(Q[:, :w], oq)
+            BX2 = X2 if same else BX - bcomb(BQ[:, :w], oq)
+            return X2, BX2
+        return f
+
+    idx = jnp.sum((count > jnp.asarray(ws, jnp.int32)).astype(jnp.int32))
+    return jax.lax.switch(idx, [mk(w) for w in ws], (X, BX))
+
+
 # ---------------------------------------------------------------------------
 # Block B-orthonormalization
 # ---------------------------------------------------------------------------
@@ -135,6 +207,7 @@ def block_ortho(X: jax.Array,
                 key: jax.Array,
                 Bop=None,
                 n_iters: int = 2,
+                locked_count=None,
                 ) -> OrthoResult:
     """B-orthonormalize ``X[:, :active_bs]`` against ``basis=(V, BV)``
     (inactive columns of V are exactly zero), ``locked=(Q, BQ)`` and
@@ -165,12 +238,18 @@ def block_ortho(X: jax.Array,
             BX = BX - bcomb(BV, ov)
         if locked is not None:
             Q, BQ = locked
-            oq = gram(BQ, X)
-            X = X - bcomb(Q, oq)
-            if Bop is None:
-                BX = X
+            if locked_count is not None:
+                # locked columns >= locked_count are exactly zero; read a
+                # bucketed prefix instead of the whole lockmax allocation
+                X, BX = prefix_project2(Q, BQ, X, BX, locked_count,
+                                        same=Bop is None)
             else:
-                BX = BX - bcomb(BQ, oq)
+                oq = gram(BQ, X)
+                X = X - bcomb(Q, oq)
+                if Bop is None:
+                    BX = X
+                else:
+                    BX = BX - bcomb(BQ, oq)
         return X, BX
 
     # Reference norms for dependence detection (before projection).

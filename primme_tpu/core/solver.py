@@ -294,7 +294,8 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
             X = jnp.where(i < ngb, gb, X)
         nact = jnp.minimum(blk, b0 - bi).astype(jnp.int32)
         res = block_ortho(X, (V, BV if B is not None else V), locked,
-                          nact, kk, Bop=B)
+                          nact, kk, Bop=B,
+                          locked_count=_i32(cfg.noc))
         V2 = _dus(V, res.X.astype(V.dtype), 0, bi)
         BV2 = BV if B is None else _dus(BV, res.BX.astype(BV.dtype), 0, bi)
         Y = A.matmat(res.X)
@@ -437,8 +438,9 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         # tol themselves, so unconverged candidates floor at ~sqrt(nl)*tol.
         # A pair whose residual component OUTSIDE the locked space is below
         # tol is accepted (its remaining error lies in locked directions).
-        proj = gram(s.evecs, cands.R)                   # [lockmax, c]
-        Rp = cands.R - bcomb(s.Bevecs if has_B else s.evecs, proj)
+        Rp = la.prefix_project(s.Bevecs if has_B else s.evecs, s.evecs,
+                               cands.R,
+                               _i32(cfg.noc + s.num_locked))
         projres = jnp.real(jnp.linalg.norm(Rp, axis=0))
         attainable = jnp.sqrt(1.0 + cfg.noc
                               + s.num_locked.astype(tol.dtype)) * tol
@@ -774,7 +776,8 @@ def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
     res = block_ortho(X, (s.V, s.BV if B is not None else s.V), locked,
-                      _i32(cfg.blk), kk, Bop=B)
+                      _i32(cfg.blk), kk, Bop=B,
+                      locked_count=_i32(cfg.noc + s.num_locked))
     V = _dus(s.V, res.X.astype(s.V.dtype), 0, 0)
     BV = (_dus(s.BV, res.BX.astype(s.BV.dtype), 0, 0)
           if B is not None else s.BV)
@@ -841,7 +844,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
     ores = block_ortho(D, (s.V, s.BV if B is not None else s.V), locked,
-                       nc, kk, Bop=B)
+                       nc, kk, Bop=B,
+                       locked_count=_i32(cfg.noc + s.num_locked))
     # A direction (and its random replacement) can collapse to zero when
     # span(V) + locked already exhausts the space; such columns are zeroed
     # by block_ortho's second pass and MUST NOT be counted as basis
@@ -866,7 +870,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         key, k1, k2 = jax.random.split(key, 3)
         rnd = _rand_block(k1, cfg.n, blk, s.V.dtype)
         o2 = block_ortho(rnd, (s.V, s.BV if B is not None else s.V),
-                         locked, nc, k2, Bop=B)
+                         locked, nc, k2, Bop=B,
+                         locked_count=_i32(cfg.noc + s.num_locked))
         o2, srv2 = _survivors(o2)
         return o2, srv2, key
 
@@ -932,8 +937,9 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     # two CGS passes against the locked vectors, then CholeskyQR
     if cfg.locking or cfg.noc > 0:
         for _ in range(2):
-            V = V - bcomb(s.evecs,
-                          gram(s.Bevecs if B is not None else s.evecs, V))
+            V = la.prefix_project(s.evecs,
+                                  s.Bevecs if B is not None else s.evecs,
+                                  V, _i32(cfg.noc + s.num_locked))
     G = gram(V, B.matmat(V) if B is not None else V)
     d = jnp.real(jnp.diagonal(G))
     amask = col_mask(cfg.mmax, s.b)

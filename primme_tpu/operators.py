@@ -379,16 +379,21 @@ class Stencil3DOperator(LinearOperator):
     def matmat(self, X):
         k = X.shape[1]
         g = X.reshape(self.nx, self.ny, self.nz, k).astype(self.dtype)
+        # pad+slice shifts: XLA fuses these into a single elementwise
+        # kernel on TPU, unlike concatenate (which materializes operands)
+        z3 = ((0, 0), (0, 0), (0, 0))
+
+        def sh(axis, up):
+            pw = list(z3[:axis]) + ([(0, 1)] if up else [(1, 0)]) \
+                + list(z3[axis:2]) + [(0, 0)]
+            gp = jnp.pad(g, pw)
+            sl = [slice(None)] * 4
+            sl[axis] = slice(1, None) if up else slice(0, -1)
+            return gp[tuple(sl)]
+
         out = 6.0 * g
-        zeros = jnp.zeros_like(g[:1])
-        out = out - jnp.concatenate([g[1:], zeros], axis=0)
-        out = out - jnp.concatenate([zeros, g[:-1]], axis=0)
-        zy = jnp.zeros_like(g[:, :1])
-        out = out - jnp.concatenate([g[:, 1:], zy], axis=1)
-        out = out - jnp.concatenate([zy, g[:, :-1]], axis=1)
-        zz = jnp.zeros_like(g[:, :, :1])
-        out = out - jnp.concatenate([g[:, :, 1:], zz], axis=2)
-        out = out - jnp.concatenate([zz, g[:, :, :-1]], axis=2)
+        for ax in range(3):
+            out = out - sh(ax, True) - sh(ax, False)
         return (self._scale * out).reshape(-1, k)
 
     def diagonal(self):
