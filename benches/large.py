@@ -65,8 +65,8 @@ def main_k100():
     nx = 128
     n = nx ** 3
     k = 100
-    mbs = int(os.environ.get("K100_MBS", "32"))
-    blk = int(os.environ.get("K100_BLK", "2"))
+    mbs = int(os.environ.get("K100_MBS", "64"))
+    blk = int(os.environ.get("K100_BLK", "4"))
     meth = os.environ.get("K100_METHOD", "JDQMR_ETol")
     seg = int(os.environ.get("K100_SEG", "150"))
     A = Stencil3DOperator(nx, nx, nx, dtype=jnp.float32)
