@@ -69,8 +69,17 @@ def main_k100():
     blk = int(os.environ.get("K100_BLK", "4"))
     meth = os.environ.get("K100_METHOD", "JDQMR_ETol")
     seg = int(os.environ.get("K100_SEG", "150"))
+    prec = os.environ.get("K100_PRECOND", "jacobi")
     A = Stencil3DOperator(nx, nx, nx, dtype=jnp.float32)
-    K = JacobiPrecond(A.diagonal())
+    if prec.startswith("cheb"):
+        # cheb8 halves the wall vs jacobi (13.9s vs 28.8s measured) at
+        # exact cluster recovery; degree 16 is marginally faster but
+        # misses a member of the 6-fold degenerate cluster at the cut
+        from primme_tpu import ChebyshevPrecond
+        K = ChebyshevPrecond.from_operator(
+            A, degree=int(prec[4:] or "8"))
+    else:
+        K = JacobiPrecond(A.diagonal())
     p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=mbs,
                      max_block_size=blk, max_matvecs=120000, locking=1)
     p = set_method(getattr(Method, meth), p, has_precond=True)
@@ -97,7 +106,7 @@ def main_k100():
            + ax(nx)[None, None, :m]).ravel()
     lam = np.sort(lam)[:k]
     evals = np.sort(np.asarray(res.evals))
-    print(f"128^3 (n={n}) k=100 mbs={mbs} blk={blk} {meth} lock f32: "
+    print(f"128^3 (n={n}) k=100 mbs={mbs} blk={blk} {prec} {meth} lock f32: "
           f"{wall:.3f}s mv={int(res.stats.num_matvecs)} "
           f"locked={int(res.stats.num_locked)} "
           f"max_res={float(np.asarray(res.resnorms).max()):.2e} "
