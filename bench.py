@@ -36,13 +36,14 @@ def main():
     A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
     p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
-                     max_matvecs=6000, locking=0)
+                     max_block_size=2, max_matvecs=6000, locking=0)
     # JDQMR_ETol: the QMR inner loop costs ~1 matvec + 2 dots per step —
-    # 3x faster wall-clock than GD+k on this config (see benches/).
+    # 3x faster wall-clock than GD+k on this config; blockSize=2 batches
+    # the QMR vector ops and beats blk=1 by ~12% wall (benches/tune.py).
     p = set_method(Method.JDQMR_ETol, p, has_precond=True)
     from primme_tpu.core.inner import jdqmr_inner_solve
 
-    v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 1)), jnp.float32)
+    v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 2)), jnp.float32)
 
     run = jax.jit(lambda v0: solve_eigs(A, p, K=K, v0=v0, dtype=jnp.float32,
                                         inner_solve=jdqmr_inner_solve))

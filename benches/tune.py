@@ -59,6 +59,7 @@ VARIANTS = {
     "jdqmretol_blk1_mbs16_jacobi": ("JDQMR_ETol", 1, 16, "jacobi", True),
     "jdqmretol_blk1_mbs32_jacobi": ("JDQMR_ETol", 1, 32, "jacobi", True),
     "jdqmretol_blk1_mbs24_cheb8": ("JDQMR_ETol", 1, 24, "cheb", True),
+    "jdqmretol_blk2_mbs24_cheb8": ("JDQMR_ETol", 2, 24, "cheb", True),
     "gdk_blk2_mbs24_cheb8": ("GD_Olsen_plusK", 2, 24, "cheb", False),
     "gdk_blk4_mbs32_cheb8": ("GD_Olsen_plusK", 4, 32, "cheb", False),
 }

@@ -72,8 +72,10 @@ def main():
             mr, err = -1, float("nan")
         print(f"{name:26s} {mr:8d} {mt:8d} {err:9.1e}")
 
+    B = sp.csr_matrix(sio.mmread("/root/reference/tests/lund_b.mtx"))
     svd_cases = [
         ("rect LM k5 1e-9", R, dict(k=5, which="LM", tol=1e-9)),
+        ("lund_b SM k5 7e-12", B, dict(k=5, which="SM", tol=7e-12)),
     ]
     for name, A, kw in svd_cases:
         _, st_, _, stats = pt.svds(A, return_stats=True, **kw)
