@@ -447,3 +447,31 @@ def test_b_norm_inv_b_norm_plumbing(tridiag):
     assert get_member(p, "b_norm") == 4.0
     cfg = make_config(p)
     assert cfg.b_norm == 4.0 and cfg.inv_b_norm == 0.5
+
+
+def test_segmented_solve_bit_identical():
+    """solve_eigs(segment_outer=N) re-enters the jitted loop from the host
+    and must produce exactly the unsegmented result (the driver for very
+    long solves, e.g. the 128^3 k=100 bench)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from primme_tpu import PrimmeParams, Method, set_method
+    from primme_tpu.core.solver import solve_eigs
+    from primme_tpu.operators import DenseOperator
+
+    rng = np.random.default_rng(3)
+    n = 180
+    Ad = np.diag(np.arange(1.0, n + 1)) + 0.02 * rng.normal(size=(n, n))
+    Ad = (Ad + Ad.T) / 2
+    A = DenseOperator(jnp.asarray(Ad))
+    p = PrimmeParams(n=n, num_evals=5, eps=1e-10, max_basis_size=20,
+                     max_block_size=2, max_matvecs=6000, locking=1)
+    p = set_method(Method.GD_Olsen_plusK, p, has_precond=False)
+    r1 = solve_eigs(A, p, dtype=jnp.float64)
+    r2 = solve_eigs(A, p, dtype=jnp.float64, segment_outer=5)
+    np.testing.assert_array_equal(np.asarray(r1.evals), np.asarray(r2.evals))
+    np.testing.assert_array_equal(np.asarray(r1.resnorms),
+                                  np.asarray(r2.resnorms))
+    assert int(r1.stats.num_matvecs) == int(r2.stats.num_matvecs)
+    truth = np.sort(np.linalg.eigvalsh(Ad))[:5]
+    assert np.abs(np.sort(np.asarray(r2.evals)) - truth).max() < 1e-8

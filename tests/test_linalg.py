@@ -126,3 +126,44 @@ def test_compute_residuals_fused():
     np.testing.assert_allclose(np.asarray(cand.R), R_direct, atol=1e-11)
     np.testing.assert_allclose(np.asarray(cand.resnorms),
                                np.linalg.norm(R_direct, axis=0), atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed locked-space projections (prefix_project / prefix_project2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("count", [0, 1, 15, 16, 17, 40, 64, 100])
+def test_prefix_project_matches_full(count):
+    """Bucketed projection == full-width projection when columns >= count
+    are exactly zero (the state invariant of evecs/Bevecs)."""
+    rng = np.random.default_rng(count)
+    n, W, c = 200, 100, 3
+    Q = np.zeros((n, W))
+    Qr, _ = np.linalg.qr(rng.normal(size=(n, max(count, 1))))
+    Q[:, :count] = Qr[:, :count]
+    C = Q * rng.uniform(0.5, 1.5, size=(1, W))  # C need not equal Q
+    C[:, count:] = 0.0
+    X = rng.normal(size=(n, c))
+    full = X - Q @ (C.T @ X)
+    got = la.prefix_project(jnp.asarray(Q), jnp.asarray(C), jnp.asarray(X),
+                            jnp.asarray(count, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), full, atol=1e-12)
+
+
+@pytest.mark.parametrize("same", [True, False])
+def test_prefix_project2_matches_full(same):
+    rng = np.random.default_rng(7)
+    n, W, c, count = 150, 48, 2, 9
+    Q = np.zeros((n, W))
+    Q[:, :count] = np.linalg.qr(rng.normal(size=(n, count)))[0]
+    BQ = Q if same else Q * 1.7
+    X = rng.normal(size=(n, c))
+    BX = X if same else X * 1.7
+    oq = BQ.T @ X
+    Xf = X - Q @ oq
+    BXf = Xf if same else BX - BQ @ oq
+    X2, BX2 = la.prefix_project2(jnp.asarray(Q), jnp.asarray(BQ),
+                                 jnp.asarray(X), jnp.asarray(BX),
+                                 jnp.asarray(count, jnp.int32), same=same)
+    np.testing.assert_allclose(np.asarray(X2), Xf, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(BX2), BXf, atol=1e-12)
