@@ -50,7 +50,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           return_history: bool = False, monitor: Any = None,
           mesh: Any = None, convtest: Any = None, printLevel: int = 0,
           maxInnerIterations: Optional[int] = None,
-          time_breakdown: bool = False):
+          time_breakdown: bool = False,
+          segment_outer: Optional[int] = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -241,7 +242,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             inner = jdqmr_inner_solve
         res = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
                          ortho_const=oc, inner_solve=inner, dtype=dtype,
-                         monitor=mon, shard=shard, convtest=convtest)
+                         monitor=mon, shard=shard, convtest=convtest,
+                         segment_outer=segment_outer)
 
     resnorms = np.asarray(res.resnorms)
     anorm = float(res.stats.anorm_estimate)
@@ -290,7 +292,8 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
          return_eigenvectors: bool = True, return_stats: bool = False,
          method: Optional[Any] = None, maxMatvecs: Optional[int] = None,
          OPinv: Any = None, raise_for_unconverged: bool = False,
-         seed: int = 0, maxInnerIterations: Optional[int] = None):
+         seed: int = 0, maxInnerIterations: Optional[int] = None,
+         segment_outer: Optional[int] = None):
     """Eigenpairs of a *normal* (non-Hermitian, A A^H = A^H A) operator —
     complex Ritz values. The analogue of the reference's
     ``dprimme_normal``/``zprimme_normal`` entry points
@@ -344,7 +347,8 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
         if v0j.ndim == 1:
             v0j = v0j[:, None]
 
-    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt, inner_solve=inner)
+    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt, inner_solve=inner,
+                     segment_outer=segment_outer)
 
     resnorms = np.asarray(res.resnorms)
     if raise_for_unconverged:

@@ -80,7 +80,8 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
          precAHA: Any = None, precAAH: Any = None, precAug: Any = None,
          maxBlockSize: int = 0, return_stats: bool = False,
          raise_for_unconverged: bool = False, seed: int = 0,
-         aNorm: float = 0.0, mesh: Any = None):
+         aNorm: float = 0.0, mesh: Any = None,
+         segment_outer: Optional[int] = None):
     """Compute k singular triplets of the rectangular operator ``A``.
 
     Mirrors the reference Python binding (``Python/primme.pyx:1074``) with
@@ -190,7 +191,8 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             return floor | (srn < eps1 * jnp.sqrt(jnp.maximum(aop, 0.0)))
 
         r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1,
-                        shard=shard, convtest=conv_stage1)
+                        shard=shard, convtest=conv_stage1,
+                        segment_outer=segment_outer)
         merge_stats(r1.stats, "stage1")
         mv_stage1 = int(np.asarray(r1.stats.num_matvecs))
 
@@ -328,7 +330,8 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 return resnorms * sq2f < eps2 * jnp.maximum(anormA, 1e-300)
 
             r2 = solve_eigs(Aug, p2, K=K2, v0=g2, ortho_const=oc,
-                            inner_solve=inner2, convtest=conv_stage2)
+                            inner_solve=inner2, convtest=conv_stage2,
+                            segment_outer=segment_outer)
             merge_stats(r2.stats, "stage2")
 
             sv2 = jnp.abs(jnp.real(r2.evals))
