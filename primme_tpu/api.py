@@ -158,6 +158,14 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         oc = jnp.asarray(np.asarray(lock))
         if oc.ndim == 1:
             oc = oc[:, None]
+        if oc.ndim != 2 or oc.shape[0] != n:
+            # `lock` is the reference binding's name for *orthogonal
+            # constraint vectors* (primme.pyx:284 `lock`), not a flag —
+            # hard locking is `locking=True`.
+            raise ValueError(
+                f"lock= must be an [n, c] array of orthogonal-constraint "
+                f"vectors (n={n}); for hard locking pass locking=True. "
+                f"Got shape {np.shape(lock)}")
         if perm is not None:
             oc = oc[perm, :]
         p = p.with_(num_ortho_const=int(oc.shape[1]))
