@@ -934,36 +934,37 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
 def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     amaskf = col_mask(cfg.mmax, s.b, s.V.dtype)[None, :]
     V = s.V * amaskf
-    # two CGS passes against the locked vectors, then CholeskyQR
+    # two CGS passes against the locked vectors, then rank-revealing
+    # symmetric whitening. A one-shot CholeskyQR cannot be used here:
+    # with no intra-block projection, a linearly dependent unit-norm
+    # column passes the diagonal (Daniel's) test but makes the Gram
+    # non-PD, so eigh-based whitening both orthonormalizes and drops
+    # the null directions (the reference's ortho re-runs with random
+    # replacement in the same situation, src/eigs/ortho.c:124).
     if cfg.locking or cfg.noc > 0:
         for _ in range(2):
             V = la.prefix_project(s.evecs,
                                   s.Bevecs if B is not None else s.evecs,
                                   V, _i32(cfg.noc + s.num_locked))
-    G = gram(V, B.matmat(V) if B is not None else V)
-    d = jnp.real(jnp.diagonal(G))
-    amask = col_mask(cfg.mmax, s.b)
+    Bv = B.matmat(V) if B is not None else V
+    G = gram(V, Bv)
+    G = 0.5 * (G + _herm(G))
     meps = machine_eps(s.V.dtype)
-    bad = ((d <= meps * 64.0) | ~jnp.isfinite(d)) & amask
-    keep = (~(bad | ~amask)).astype(V.dtype)
-    Gs = G * keep[:, None] * keep[None, :] + jnp.diag(
-        jnp.where(bad | ~amask, 1.0, 0.0)).astype(V.dtype)
-    L = jnp.linalg.cholesky(Gs)
-    V = _herm(jax.scipy.linalg.solve_triangular(L, _herm(V), lower=True))
-    V = (V * keep[None, :].astype(V.dtype)).astype(s.V.dtype)
-    BV = B.matmat(V).astype(s.BV.dtype) if B is not None else s.BV
+    lam, U = jnp.linalg.eigh(G)                      # ascending
+    lam = lam[::-1]                                  # descending: good first
+    U = U[:, ::-1]
+    lmax = jnp.maximum(jnp.real(lam[0]), meps)
+    good = (jnp.real(lam) > 64.0 * meps * lmax) & jnp.isfinite(jnp.real(lam))
+    scale = jnp.where(good, jax.lax.rsqrt(jnp.maximum(
+        jnp.real(lam), meps)), 0.0).astype(G.dtype)
+    C = U * scale[None, :]
+    V = la.bcomb(V, C).astype(s.V.dtype)
+    BV = la.bcomb(Bv, C).astype(s.BV.dtype) if B is not None else s.BV
     W = A.matmat(V).astype(s.W.dtype)
     H = gram(V, W)
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
-    nkeep = _i32(jnp.sum(keep.astype(jnp.int32)))
-    # compact surviving columns left
-    order = jnp.argsort(jnp.arange(cfg.mmax, dtype=jnp.int32)
-                        + _BIG * (1 - keep.real.astype(jnp.int32)))
-    V = V[:, order]
-    W = W[:, order]
-    BV = BV[:, order] if B is not None else BV
-    H = H[order][:, order]
+    nkeep = _i32(jnp.sum(good.astype(jnp.int32)))
     has_locked = cfg.locking or cfg.noc > 0
     stats = s.stats._replace(
         num_matvecs=_i32(s.stats.num_matvecs + s.b),
