@@ -261,8 +261,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
         # half-precision basis cannot resolve residuals below storage eps
         eps_eff = max(eps_eff, 4 * float(jnp.finfo(jnp.dtype(dtype)).eps))
-    unconv = int(np.sum(resnorms > 10 * max(eps_eff * max(anorm, 1e-300),
-                                            1e-300)))
+    unconv = int(np.sum(~(resnorms <= 10 * max(eps_eff * max(anorm, 1e-300),
+                                               1e-300))))  # NaN/inf count too
     if unconv > 0 and raise_for_unconverged:
         raise PrimmeError(
             f"{unconv}/{k} pairs unconverged (resnorms={resnorms})")

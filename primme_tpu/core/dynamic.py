@@ -104,7 +104,7 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     segs_since_probe = 0   # segments since the idle method last ran
     while True:
         it0 = int(s.stats.num_outer_iterations)
-        if bool(s.done) or it0 >= max_outer or \
+        if bool(s.done) or bool(s.give_up) or it0 >= max_outer or \
                 int(s.stats.num_matvecs) >= max_mv:
             break
         res_b, lock_b, anorm_b = prev_snap or snapshot(s)

@@ -30,6 +30,7 @@ via the ``inner_solve`` hook (see ``core/inner.py``).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -93,6 +94,7 @@ class Stats(NamedTuple):
     est_min_eval: jax.Array          # estimateMinEVal
     est_max_eval: jax.Array          # estimateMaxEVal
     num_practical: jax.Array         # lockingIssue (weak-criterion accepts)
+    num_probe_rounds: jax.Array      # spectrum-verification probe rounds run
 
     @staticmethod
     def zeros(rdt):
@@ -100,7 +102,14 @@ class Stats(NamedTuple):
         zr = jnp.zeros((), rdt)
         big = jnp.asarray(jnp.finfo(rdt).max, rdt)
         return Stats(z, z, z, z, z, z, z, z, zr, zr, zr,
-                     z, zr, zr, zr, big, -big, z)
+                     z, zr, zr, zr, big, -big, z, z)
+
+
+class ProbeResult(NamedTuple):
+    found: jax.Array       # bool: a pair sorts strictly inside the set
+    X: jax.Array           # [n, blk] probe Ritz block (inject when found)
+    num_matvecs: jax.Array
+    num_preconds: jax.Array
 
 
 class SolverState(NamedTuple):
@@ -128,6 +137,25 @@ class SolverState(NamedTuple):
     # (src/eigs/correction.c:248-252 prevRitzVals)
     prev_ritz: jax.Array         # [lockmax + cwin]
     num_prev_ritz: jax.Array
+    # Spectrum-verification probe (no reference analogue — the upstream
+    # library, like any block Davidson with blockSize < multiplicity, can
+    # silently return an incomplete degenerate cluster; measured on the
+    # 32^3 Laplacian the reference misses 3-fold cluster members at
+    # blockSize=2/ncv=24, every returned pair passing its residual test).
+    # When the requested pairs first appear converged, the solver runs
+    # ``_probe_subsolve``: a small out-of-band Davidson on the deflated
+    # complement, started from a Chebyshev-filtered random block (fresh
+    # randomness carries components of any unseen invariant direction —
+    # GD/JD corrections alone preserve the complement of span(V) for
+    # Hermitian A). A probe whose min Ritz value dips strictly inside the
+    # returned set is *found* (a Rayleigh quotient upper-bounds the
+    # deflated minimum — no convergence needed for the existence proof)
+    # and its block is injected as guesses; ``done`` latches only after
+    # two consecutive clean rounds with independent randomness.
+    probe_ref: jax.Array         # real: ne-th best target key last verified
+    probe_clean: jax.Array       # int32: consecutive rounds finding nothing
+    verified: jax.Array          # bool: returned set survived probing
+    give_up: jax.Array           # bool: stagnation bail-out (honest exit)
     # control
     key: jax.Array
     done: jax.Array
@@ -150,6 +178,45 @@ def _rand_block(key, n, bs, dtype):
     else:
         X = jax.random.normal(key, (n, bs), dtype)
     return X
+
+
+def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
+                         suppress_hi, degree):
+    """Chebyshev-filtered random block for verification-probe injection.
+
+    A raw random vector carries only ~1/sqrt(n) weight of a missing
+    eigendirection; when the spectral gap at the probe bar is small
+    relative to the tolerance the probe pair can converge to the *next*
+    eigenvalue while the hidden component (weight * gap < tol) never
+    surfaces. Running the random block through T_d mapped to suppress
+    [suppress_lo, suppress_hi] (the part of the spectrum already above /
+    beyond the bar) amplifies every not-yet-suppressed component to O(1)
+    combined weight, so a missing member appears as its own Ritz value
+    within an iteration or two. Uses the solver's own tracked spectral
+    range (stats.estimateMin/MaxEVal) for the band. ``degree`` is traced
+    (sized so the band amplification beats the sqrt(n) bulk); costs
+    ``degree`` matvecs per column (counted)."""
+    X = _rand_block(key, cfg.n, cfg.blk, dtype)
+    rdt = real_dtype(dtype)
+    ctr = ((suppress_hi + suppress_lo) / 2).astype(rdt)
+    hw = ((suppress_hi - suppress_lo) / 2).astype(rdt)
+    hw = jnp.maximum(hw, jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
+
+    def t_apply(Y):
+        return (A.matmat(Y) - ctr * Y) / hw
+
+    y1 = t_apply(X)
+
+    def body(i, carry):
+        y0, y1 = carry
+        y2 = 2.0 * t_apply(y1) - y0
+        sc = 1.0 / jnp.maximum(jnp.max(jnp.abs(y2)),
+                               jnp.asarray(1e-30, rdt))
+        sc = sc.astype(dtype)
+        return (y1 * sc, y2 * sc)
+
+    _, yd = jax.lax.fori_loop(0, degree - 1, body, (X, y1))
+    return yd
 
 
 class SolveConfig(NamedTuple):
@@ -201,16 +268,30 @@ class SolveConfig(NamedTuple):
     # at the storage-precision resolution.
     orth_explicit_I: bool = False
     eps_floor: float = 0.0
+    # Spectrum-verification probe (see SolverState docstring): number of
+    # extra pairs each probe round converges (0 disables probing) and the
+    # round budget.
+    probe_extra: int = 0
+    max_probe_rounds: int = 0
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
     """Distill resolved params into trace constants."""
     mmax, blk, ne = p.max_basis_size, p.max_block_size, p.num_evals
-    cwin = min(mmax, ne + blk)
     noc = p.num_ortho_const
+    rounds = 6 if p.verify_spectrum < 0 else p.verify_spectrum
+    # The probe subsolve covers Hermitian extreme-target problems (the
+    # degenerate-cluster hazard class); interior targets and normal
+    # operators run unverified like the reference.
+    probe_extra = (min(blk, max(0, p.n - noc - ne))
+                   if (rounds > 0 and p.hermitian
+                       and p.target in (Target.smallest, Target.largest))
+                   else 0)
+    cwin = min(mmax, ne + blk)
     return SolveConfig(
         n=p.n, ne=ne, mmax=mmax, mrs=p.min_restart_size, blk=blk,
         kmax=min(p.max_prev_retain, cwin), cwin=cwin, noc=noc,
+        probe_extra=probe_extra, max_probe_rounds=rounds,
         lockmax=noc + ne + cwin, locking=bool(p.locking), target=p.target,
         eps=p.eps, a_norm=p.a_norm, olsen=p.projectors.RightX,
         robust_shifts=p.robust_shifts,
@@ -326,6 +407,8 @@ class Window(NamedTuple):
     n_needed: jax.Array    # remaining sought pairs
     nconv: jax.Array       # converged targets in window
     tol: jax.Array
+    passes: jax.Array      # [cwin] bool: active pair passing the residual
+                           # test regardless of target position (probe sizing)
 
 
 def _ortho_counts(cfg: SolveConfig, has_locked: bool):
@@ -354,7 +437,10 @@ def _tolerance(cfg: SolveConfig, anorm):
 
 
 def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
-                   convtest=None):
+                   convtest=None, goal=None):
+    """``goal`` (traced int32, default ``cfg.ne``): total locked+converged
+    pairs currently sought — raised above ``ne`` while a verification
+    probe is active so the extra pairs become correction targets."""
     c = cfg.cwin
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
     if not cfg.hermitian:
@@ -409,7 +495,28 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     # accepted at that level too (stats.maxConvTol semantics,
     # src/eigs/convergence.c:105-146, restart.c:434).
     tol = jnp.maximum(_tolerance(cfg, anorm), s.stats.max_conv_tol)
-    n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32) - s.num_locked.astype(jnp.int32))
+    if goal is None:
+        goal = jnp.asarray(cfg.ne, jnp.int32)
+    n_needed = _i32(goal - s.num_locked.astype(jnp.int32))
+    if cfg.locking:
+        # Verification-phase intruders: once ne pairs are locked, a
+        # window pair sorting strictly inside the locked set (a probe-
+        # discovered missing cluster member — the locked set cannot be
+        # unlocked) must still be targeted and converged; extraction
+        # then returns the best ne by target order across both pools.
+        rdt_k = real_dtype(s.H.dtype)
+        sidx_k = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
+        lkeys = target_sort_keys(s.locked_vals, cfg.target, shifts,
+                                 sidx_k).astype(rdt_k)
+        neg = jnp.asarray(-jnp.finfo(rdt_k).max, rdt_k)
+        lmask = jnp.arange(lkeys.shape[0]) < s.num_locked
+        worst_locked = jnp.max(jnp.where(lmask, lkeys, neg))
+        wkeys_i = target_sort_keys(hl_c, cfg.target, shifts,
+                                   sidx_k).astype(rdt_k)
+        intr = active & (wkeys_i < worst_locked - tol)
+        n_intr = _i32(jnp.sum(intr.astype(jnp.int32)))
+        n_intr = jnp.where(s.num_locked >= cfg.ne, n_intr, 0)
+        n_needed = _i32(jnp.clip(n_needed + n_intr, 0, c))
     if convtest is not None:
         # User convergence test (convTestFun, include/primme_eigs.h:245):
         # fn(evals [c], resnorms [c], tol, anorm_estimate) -> bool [c].
@@ -477,7 +584,190 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         est_max_eval=jnp.maximum(s.stats.est_max_eval, emax),
         num_practical=_i32(s.stats.num_practical
                            + jnp.sum(weak_only.astype(jnp.int32))))
-    return Window(sol, cands, conv, is_target, n_needed, nconv, tol), stats
+    return Window(sol, cands, conv, is_target, n_needed, nconv, tol,
+                  (passes & active) | conv), stats
+
+
+def _kth_best_key(cfg: SolveConfig, s: SolverState, win: Window, shifts):
+    """Target-sort key of the ne-th best pair among the locked pairs and
+    the residual-passing window pairs — the value a verification-probe
+    pair must beat (strictly, by the tolerance margin) to prove the
+    returned set incomplete. ``+finfo.max`` when fewer than ne pairs
+    exist."""
+    rdt = real_dtype(s.H.dtype)
+    big = jnp.asarray(jnp.finfo(rdt).max, rdt)
+    sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
+    lv = s.locked_vals
+    lk = target_sort_keys(lv, cfg.target, shifts, sidx).astype(rdt)
+    lk = jnp.where(jnp.arange(lv.shape[0]) < s.num_locked, lk, big)
+    wk = target_sort_keys(win.sol.hvals[:cfg.cwin], cfg.target, shifts,
+                          sidx).astype(rdt)
+    wk = jnp.where(win.passes, wk, big)
+    allk = jnp.sort(jnp.concatenate([lk, wk]))
+    return allk[cfg.ne - 1]
+
+
+# Probe subsolve budget: iterations of the out-of-band deflated Davidson.
+# Each iteration costs blk matvecs (+ blk preconds); the Chebyshev-filtered
+# start usually dips within the first few iterations when a member is
+# missing, so the budget is a tail guard, not the expected cost.
+_PROBE_ITERS = 24
+
+
+def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
+                    shifts, bar, margin, key) -> ProbeResult:
+    """Out-of-band spectrum-verification probe (see SolverState docstring).
+
+    Runs a small Davidson iteration on the complement of the converged
+    set: a fresh random block — Chebyshev-filtered through the solver's
+    tracked spectral range to amplify the not-yet-represented band
+    (``_filtered_rand_block``) — is hard-deflated against the locked
+    pairs and the converged window Ritz vectors, then refined with
+    preconditioned-residual corrections in its own [n, pw] basis
+    (untouched by the main loop's restarts). The probe reports *found*
+    as soon as its best target-sorted Ritz value sorts strictly inside
+    the returned set: a Rayleigh quotient bounds the deflated extreme
+    eigenvalue, so no convergence is required for the existence proof.
+    """
+    from ..operators import apply_precond
+
+    n, blk = cfg.n, cfg.blk
+    pw = min(max(3 * blk, 8), 32)
+    has_B = B is not None
+    cdt = win.cands.X.dtype
+    rdt = real_dtype(cdt)
+    sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
+    z = jnp.zeros((), jnp.int32)
+
+    pmask = win.passes.astype(cdt)[None, :]
+    Xc = win.cands.X * pmask
+    BXc = win.cands.BX * pmask if has_B else Xc
+    has_locked = cfg.noc > 0 or cfg.locking
+    locked = ((s.evecs, s.Bevecs if has_B else s.evecs)
+              if has_locked else None)
+    lcount = _i32(cfg.noc + s.num_locked)
+
+    # --- start block: Chebyshev-filtered random --------------------------
+    key, kf = jax.random.split(key)
+    if has_B:
+        Z0, mv0 = _rand_block(kf, n, blk, cdt), z
+    else:
+        emin, emax = s.stats.est_min_eval, s.stats.est_max_eval
+        span = jnp.maximum(emax - emin,
+                           jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
+        cut = jnp.maximum(8.0 * margin.astype(rdt), 5e-3 * span)
+        if cfg.target == Target.smallest:
+            s_lo, s_hi = bar + cut, emax + 0.25 * span
+        else:
+            s_lo, s_hi = emin - 0.25 * span, (-bar) - cut
+        # degree sized so the band amplification beats the sqrt(n)-strong
+        # suppressed bulk: d >= ln(4 sqrt(n)) / acosh(1 + 2 cut / width)
+        width = jnp.maximum(s_hi - s_lo, jnp.asarray(1e-30, rdt))
+        ac = jnp.arccosh(1.0 + 2.0 * cut / width)
+        need = float(math.log(4.0 * math.sqrt(n)))
+        deg = jnp.clip((need / jnp.maximum(ac, 1e-6)).astype(jnp.int32) + 1,
+                       8, 512)
+        okf = (emax > emin) & (s_hi > s_lo)
+        Z0 = jax.lax.cond(
+            okf,
+            lambda k: _filtered_rand_block(cfg, A, k, cdt, s_lo, s_hi, deg),
+            lambda k: _rand_block(k, n, blk, cdt), kf)
+        mv0 = jnp.where(okf, _i32(blk) * deg, z)
+
+    P0 = jnp.zeros((n, pw), cdt)
+    WP0 = jnp.zeros((n, pw), cdt)
+    BP0 = jnp.zeros((n, pw), cdt) if has_B else jnp.zeros((n, 0), cdt)
+
+    def deflate(Z):
+        for _ in range(2):
+            Z = Z - bcomb(Xc, gram(BXc, Z))
+        return Z
+
+    def cond(carry):
+        (_, _, _, _, t, found, *_rest) = carry
+        return (t < _PROBE_ITERS) & ~found
+
+    def step(carry):
+        P, WP, BP, w, t, found, Xb, Z, key, mv, npc = carry
+
+        def compress(args):
+            P, WP, BP, w = args
+            Hp = gram(P, WP)
+            Hp = 0.5 * (Hp + _herm(Hp))
+            solc = solve_H_rr(Hp, w, cfg.target, shifts, sidx)
+            kk = pw - blk
+            C = (solc.hvecs[:, :kk]
+                 * solc.active[:kk].astype(Hp.dtype)[None, :])
+            Pn = jnp.zeros_like(P).at[:, :kk].set(bcomb(P, C))
+            WPn = jnp.zeros_like(WP).at[:, :kk].set(bcomb(WP, C))
+            BPn = (jnp.zeros_like(BP).at[:, :kk].set(bcomb(BP, C))
+                   if has_B else BP)
+            wn = jnp.minimum(w, _i32(kk))
+            return Pn, WPn, BPn, wn
+
+        P, WP, BP, w = jax.lax.cond(w + blk > pw, compress,
+                                    lambda a: a, (P, WP, BP, w))
+        key, kk2 = jax.random.split(key)
+        ores = block_ortho(deflate(Z), (P, BP if has_B else P), locked,
+                           _i32(blk), kk2, Bop=B, locked_count=lcount)
+        P = _dus(P, ores.X.astype(cdt), 0, w)
+        BP = _dus(BP, ores.BX.astype(cdt), 0, w) if has_B else BP
+        Y = A.matmat(ores.X)
+        WP = _dus(WP, Y.astype(cdt), 0, w)
+        w = _i32(w + blk)
+        mv = _i32(mv + blk)
+        Hp = gram(P, WP)
+        Hp = 0.5 * (Hp + _herm(Hp))
+        sol = solve_H_rr(Hp, w, cfg.target, shifts, sidx)
+        hb = sol.hvals[:blk]
+        keys = target_sort_keys(hb, cfg.target, shifts, sidx).astype(rdt)
+        found2 = sol.active[0] & (keys[0] < bar - margin)
+        Cb = sol.hvecs[:, :blk]
+        Xb = bcomb(P, Cb)
+        lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
+        Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
+        if K is not None:
+            Z2 = apply_precond(K, Rb, jnp.real(lamb))
+            npc = _i32(npc + blk)
+        else:
+            Z2 = Rb
+        return (P, WP, BP, w, t + 1, found | found2, Xb, Z2, key, mv, npc)
+
+    carry = (P0, WP0, BP0, z, z, jnp.zeros((), jnp.bool_),
+             jnp.zeros((n, blk), cdt), Z0, key, mv0, z)
+    carry = jax.lax.while_loop(cond, step, carry)
+    (_, _, _, _, _, found, Xb, _, _, mv, npc) = carry
+    return ProbeResult(found=found, X=Xb, num_matvecs=mv, num_preconds=npc)
+
+
+def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
+                        Xb) -> SolverState:
+    """Inject a found probe block as new basis columns at ``s.b``
+    (caller guarantees ``s.b + blk <= mmax``). The injected pair's Ritz
+    value sorts inside the current set, so the main loop targets and
+    converges it like any candidate."""
+    key, kk = jax.random.split(s.key)
+    locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
+              if (cfg.noc > 0 or cfg.locking) else None)
+    ores = block_ortho(Xb, (s.V, s.BV if B is not None else s.V), locked,
+                       _i32(cfg.blk), kk, Bop=B,
+                       locked_count=_i32(cfg.noc + s.num_locked))
+    V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
+    BV = (_dus(s.BV, ores.BX.astype(s.BV.dtype), 0, s.b)
+          if B is not None else s.BV)
+    Y = A.matmat(ores.X)
+    W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
+    hc = gram(V, Y)
+    H = _dus(s.H, hc, 0, s.b)
+    if cfg.hermitian:
+        H = _dus(H, _herm(hc), s.b, 0)
+    else:
+        hr = gram(ores.X, W)
+        H = _dus(H, hr, s.b, 0)
+    stats = s.stats._replace(
+        num_matvecs=_i32(s.stats.num_matvecs + cfg.blk))
+    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + cfg.blk),
+                      key=key, stats=stats)
 
 
 def _unconverged_order(win: Window):
@@ -632,7 +922,14 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
 
     # --- hard locking: move converged targets into evecs -----------------
     if cfg.locking:
-        lock = win.conv  # converged targets in window
+        # Lock at most the first ne pairs: verification-probe extras
+        # converge beyond ne and stay (converged) in the window — evecs
+        # capacity is sized for ne locked pairs + the window, and a probe
+        # pair that displaces is still returned through the merged
+        # target-sorted extraction.
+        cap = jnp.clip(jnp.asarray(cfg.ne, jnp.int32)
+                       - s.num_locked.astype(jnp.int32), 0, c)
+        lock = win.conv & (jnp.cumsum(win.conv.astype(jnp.int32)) <= cap)
         lockorder = jnp.argsort(jnp.arange(c, dtype=jnp.int32)
                                 + _BIG * (~lock).astype(jnp.int32))
         nl = _i32(jnp.sum(lock.astype(jnp.int32)))
@@ -672,11 +969,26 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
         num_locked = s.num_locked
         locked_now = jnp.zeros((mmax,), jnp.bool_)
 
-    # --- keep the best mrs non-locked pairs ------------------------------
-    keep_key = idx + _BIG * locked_now.astype(jnp.int32) \
+    # --- keep the converged pairs + the best unconverged ones ------------
+    # Soft locking MUST retain every converged (non-locked) pair through
+    # the restart — with minRestartSize < numConverged, truncating to mrs
+    # drops a converged pair which then has to re-converge, and the
+    # iteration can cycle forever re-deriving the same pairs
+    # (restart_soft_locking keeps converged Ritz vectors,
+    # src/eigs/restart.c:598-680). Priority: converged first (in sorted
+    # order), then best unconverged, up to max(mrs, numConverged) columns.
+    conv_full = jnp.zeros((mmax,), jnp.bool_).at[:c].set(win.conv)
+    conv_keep = conv_full & ~locked_now & active
+    keepW = min(max(mrs, cfg.cwin), mmax - max(kmax, 0))
+    keep_key = idx + _BIG * (~conv_keep).astype(jnp.int32) \
+        + 2 * _BIG * locked_now.astype(jnp.int32) \
         + 4 * _BIG * (~active).astype(jnp.int32)
-    keep_order = jnp.argsort(keep_key)[:mrs]
-    keep_ok = active[keep_order] & ~locked_now[keep_order]
+    keep_order = jnp.argsort(keep_key)[:keepW]
+    nkeep = jnp.clip(jnp.maximum(jnp.asarray(mrs, jnp.int32),
+                                 _i32(jnp.sum(conv_keep.astype(jnp.int32)))),
+                     0, keepW)
+    keep_ok = (active[keep_order] & ~locked_now[keep_order]
+               & (jnp.arange(keepW, dtype=jnp.int32) < nkeep))
     Ckeep = win.sol.hvecs[:, keep_order] * keep_ok.astype(s.H.dtype)[None, :]
     if cfg.projection != Projection.RR:
         # refined/harmonic coefficient vectors are not mutually orthogonal;
@@ -799,12 +1111,20 @@ def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
 # ---------------------------------------------------------------------------
 
 def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
-              shifts=None, inner_solve=None) -> SolverState:
+              shifts=None, inner_solve=None,
+              force_random=None) -> SolverState:
+    """One expansion step. ``force_random`` (traced bool or None): replace
+    the correction directions with a fresh random block — used to start a
+    verification probe round (components of unseen invariant directions;
+    corrections alone preserve the complement of span(V) for Hermitian A)
+    and to un-starve a basis with no unconverged candidates left."""
     blk, c, mmax, kmax = cfg.blk, cfg.cwin, cfg.mmax, cfg.kmax
     order = _unconverged_order(win)
     n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
                              & win.is_target).astype(jnp.int32)))
     nc = _i32(jnp.minimum(blk, n_unconv))
+    if force_random is not None:
+        nc = _i32(jnp.where(force_random, blk, nc))
     cand_idx = order[:blk]
     valid = jnp.arange(blk) < nc
     vmask = valid.astype(win.cands.X.dtype)[None, :]
@@ -828,19 +1148,29 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     else:
         prev = s.prev_hvecs
 
-    n_inner = jnp.zeros((), jnp.int32)
-    n_prec = jnp.zeros((), jnp.int32)
-    n_mv_inner = jnp.zeros((), jnp.int32)
-    if cfg.max_inner != 0 and inner_solve is not None:
-        D, n_inner, n_mv_inner, n_prec = inner_solve(
-            cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol,
-            evals=lam)
-    else:
-        D = gd_correction(cfg, K, R, X, sigma, valid)
-        if K is not None:
-            n_prec = nc.astype(jnp.int32)
+    def _corrections(kr):
+        n_inner = jnp.zeros((), jnp.int32)
+        n_prec = jnp.zeros((), jnp.int32)
+        n_mv_inner = jnp.zeros((), jnp.int32)
+        if cfg.max_inner != 0 and inner_solve is not None:
+            D, n_inner, n_mv_inner, n_prec = inner_solve(
+                cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol,
+                evals=lam)
+        else:
+            D = gd_correction(cfg, K, R, X, sigma, valid)
+            if K is not None:
+                n_prec = nc.astype(jnp.int32)
+        return D, _i32(n_inner), _i32(n_mv_inner), _i32(n_prec)
 
-    key, kk = jax.random.split(s.key)
+    key, kk, kr = jax.random.split(s.key, 3)
+    if force_random is None:
+        D, n_inner, n_mv_inner, n_prec = _corrections(kr)
+    else:
+        z = jnp.zeros((), jnp.int32)
+        D, n_inner, n_mv_inner, n_prec = jax.lax.cond(
+            force_random,
+            lambda kr: (_rand_block(kr, cfg.n, blk, R.dtype), z, z, z),
+            _corrections, kr)
     locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
     ores = block_ortho(D, (s.V, s.BV if B is not None else s.V), locked,
@@ -1078,7 +1408,11 @@ def _build_state(cfg: SolveConfig, A, B, v0, ortho_const, key, dtype,
         restarts_since_reset=jnp.zeros((), jnp.int32),
         stall_restarts=jnp.zeros((), jnp.int32),
         prev_ritz=jnp.zeros((cfg.lockmax + cfg.cwin,), rdt),
-        num_prev_ritz=jnp.zeros((), jnp.int32), key=key,
+        num_prev_ritz=jnp.zeros((), jnp.int32),
+        probe_ref=jnp.asarray(jnp.finfo(rdt).max, rdt),
+        probe_clean=jnp.zeros((), jnp.int32),
+        verified=jnp.asarray(cfg.probe_extra == 0, jnp.bool_),
+        give_up=jnp.zeros((), jnp.bool_), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
     return s0
 
@@ -1099,19 +1433,80 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
     mmax = cfg.mmax
 
     def cond(s: SolverState):
-        return (~s.done
+        return (~s.done & ~s.give_up
                 & (s.stats.num_outer_iterations < cfg.max_outer)
                 & (s.stats.num_outer_iterations < seg_end)
                 & (s.stats.num_matvecs < cfg.max_matvecs))
 
     def body(s: SolverState):
+        ne_i = jnp.asarray(cfg.ne, jnp.int32)
         win, stats = prepare_window(cfg, s, shifts, B is not None,
                                     convtest=convtest)
         s = s._replace(stats=stats)
-        done = (s.num_locked.astype(jnp.int32) + win.nconv) >= cfg.ne
-        n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:cfg.cwin]
+        c = cfg.cwin
+        pos = jnp.arange(c, dtype=jnp.int32)
+        locked = s.num_locked.astype(jnp.int32)
+        n_base = jnp.clip(ne_i - locked, 0, c)
+        nconv_base = _i32(jnp.sum((win.conv & (pos < n_base)
+                                   ).astype(jnp.int32)))
+        n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
                                  & win.is_target).astype(jnp.int32)))
-        need_restart = (s.b + cfg.blk > mmax) | (n_unconv == 0)
+        # the requested pairs all pass — pending spectrum verification.
+        # The n_unconv term covers locking-phase intruders (window pairs
+        # sorting inside the locked set, see prepare_window): they must
+        # converge before the solve may finish.
+        done_cand = ((locked + nconv_base) >= ne_i) & (n_unconv == 0)
+
+        # --- spectrum verification (see SolverState docstring; no
+        # reference analogue — verify_norms, src/eigs/main_iter.c:1864,
+        # rechecks residuals but cannot detect a missed degenerate-cluster
+        # member, the reference's own silent failure mode) ----------------
+        b_pre = s.b
+        if cfg.probe_extra > 0:
+            margin = win.tol
+            newkth = _kth_best_key(cfg, s, win, shifts)
+            # a verified set that later improves (a late-surfacing member
+            # converged after its probe round) must be re-verified
+            reopen = s.verified & (newkth < s.probe_ref - margin)
+            verified = s.verified & ~reopen
+            clean = jnp.where(reopen, 0, s.probe_clean)
+            rounds = s.stats.num_probe_rounds
+            want = done_cand & ~verified
+            cap_hit = want & (rounds >= cfg.max_probe_rounds)
+            verified = verified | cap_hit
+            do_probe = (want & ~cap_hit
+                        & (s.b + cfg.blk <= mmax)
+                        & (s.stats.num_matvecs < cfg.max_matvecs))
+            s = s._replace(verified=verified, probe_clean=clean)
+
+            def run_probe(s):
+                key, kp = jax.random.split(s.key)
+                s = s._replace(key=key)
+                pr = _probe_subsolve(cfg, A, B, K, s, win, shifts,
+                                     newkth, margin, kp)
+                stats = s.stats._replace(
+                    num_matvecs=_i32(s.stats.num_matvecs + pr.num_matvecs),
+                    num_preconds=_i32(s.stats.num_preconds
+                                      + pr.num_preconds),
+                    num_probe_rounds=_i32(s.stats.num_probe_rounds + 1))
+                # two consecutive clean rounds (independent injections)
+                # are required before the set counts as verified
+                clean2 = jnp.where(pr.found, 0, s.probe_clean + 1)
+                s = s._replace(stats=stats, probe_clean=clean2,
+                               probe_ref=newkth,
+                               verified=(~pr.found) & (clean2 >= 2))
+                return jax.lax.cond(
+                    pr.found,
+                    lambda s: _append_probe_block(cfg, A, B, s, pr.X),
+                    lambda s: s, s)
+
+            s = jax.lax.cond(do_probe, run_probe, lambda s: s, s)
+        # a found-and-injected probe block is new basis content the stale
+        # window knows nothing about: skip the action branch this
+        # iteration (a restart built from the stale coefficient window
+        # would wipe the injected columns)
+        probe_injected = s.b > b_pre
+        done = done_cand & s.verified
 
         # Stagnation detection: leading unconverged-candidate residual must
         # improve by 30% every few restarts, else reset the basis (the
@@ -1127,11 +1522,24 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
         improved = cur_res < 0.999 * s.best_res
         best_res = jnp.minimum(s.best_res, cur_res)
         stall = jnp.where(improved, 0, s.stall_restarts).astype(jnp.int32)
-        need_reset = need_restart & (stall >= 12)
-        # hard give-up: bounded number of reset cycles (monotone counter —
+        full = s.b + cfg.blk > mmax
+        need_reset = full & (stall >= 12)
+        # stagnation bail-out: bounded reset cycles (monotone counter —
         # do_reset clears the stall counter, so stall alone cannot bound
-        # the loop), and a cap on consecutive no-progress iterations
-        done = done | (s.stats.num_resets >= 30) | (stall >= 500)
+        # the loop) and a cap on consecutive no-progress restarts. This is
+        # a give-up, NOT success: it exits the loop with give_up set and
+        # the extraction reports the honest current residuals.
+        give_up = (s.stats.num_resets >= 30) | (stall >= 500)
+
+        # Branch selection: a full basis restarts; a basis with no
+        # unconverged candidates restarts if that can lock pairs out,
+        # and is otherwise *starved* — only fresh random directions can
+        # make progress (corrections preserve the orthogonal complement
+        # of span(V) for Hermitian problems), so inject a random block.
+        lockable = ((win.nconv > 0) & (locked < ne_i)) if cfg.locking \
+            else jnp.zeros((), jnp.bool_)
+        inject = (n_unconv == 0) & ~done & ~full & ~lockable
+        need_restart = full | ((n_unconv == 0) & ~inject)
 
         def when_active(s):
             def restart_or_reset(s):
@@ -1144,7 +1552,8 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
             def expand(s):
                 mv0 = s.stats.num_matvecs
                 s = do_expand(cfg, A, B, K, s, win, shifts=shifts,
-                              inner_solve=inner_solve)
+                              inner_solve=inner_solve,
+                              force_random=inject)
                 # an expansion that added no basis column is a stall
                 return s._replace(stall_restarts=_i32(jnp.where(
                     s.stats.num_matvecs > mv0, s.stall_restarts,
@@ -1170,7 +1579,8 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 nc=win.nconv, nu=n_unconv, r0=win.cands.resnorms[0],
                 h0=win.sol.hvals[0], mc=mincn, vq=vtq, mq=minqn, mx=minxn)
         s = s._replace(best_res=best_res, stall_restarts=stall)
-        s2 = jax.lax.cond(done, lambda s: s, when_active, s)
+        s2 = jax.lax.cond(done | probe_injected, lambda s: s,
+                          when_active, s)
         if monitor is not None:
             # Event stream (monitorFun, src/eigs/auxiliary_eigs_normal.c:
             # 446) with the reference's event taxonomy (primme_event,
@@ -1202,49 +1612,67 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 hvals=win.sol.hvals[:kshow],
                 resnorms=win.cands.resnorms[:kshow],
                 ordered=True)
-        return s2._replace(done=done)
+        return s2._replace(done=done, give_up=give_up)
 
     return jax.lax.while_loop(cond, body, s)
 
 
 def extract_result(cfg: SolveConfig, s: SolverState, shifts,
                    has_B: bool) -> EigsResult:
-    """Final extraction + recheck (``verify_norms``,
-    ``src/eigs/main_iter.c:1864``): merge locked and basis-resident pairs,
-    sort by target."""
+    """Final extraction (``verify_norms``, ``src/eigs/main_iter.c:1864``,
+    plus the merged return in ``main_iter.c:1343-1411``): pool the locked
+    pairs and the basis-resident window pairs, order converged-first by
+    target preference, return the best ``ne``.
+
+    Residuals are always the honestly computed values — an exhausted
+    budget or a stagnation give-up returns the best current pairs with
+    their true (possibly above-tolerance) residuals, never placeholder
+    slots. Slots with no pair at all (basis + locked smaller than ``ne``)
+    return NaN eigenvalue / +inf residual."""
     win, stats = prepare_window(cfg, s, shifts, has_B)
     s = s._replace(stats=stats)
-    ne = cfg.ne
+    ne, c = cfg.ne, cfg.cwin
+    Lw = cfg.lockmax - cfg.noc
     rdt = real_dtype(s.H.dtype)   # compute precision (f32 for bf16 basis)
-    big = jnp.asarray(jnp.finfo(rdt).max / 16, rdt)
-
+    big = jnp.asarray(jnp.finfo(rdt).max, rdt)
     vdt = rdt if cfg.hermitian else s.H.dtype
-    bactive = win.sol.active[:cfg.cwin]
-    basis_vals = jnp.where(bactive, jnp.where(
-        jnp.abs(win.sol.hvals[:cfg.cwin]) < big,
-        win.sol.hvals[:cfg.cwin], 0), 0).astype(vdt)
-    basis_res = jnp.where(bactive, win.cands.resnorms, big)
+    sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
 
-    out_cols = jnp.arange(ne)
-    from_locked = out_cols < s.num_locked
-    bidx = jnp.clip(out_cols - s.num_locked, 0, cfg.cwin - 1)
-    lidx = jnp.clip(out_cols, 0, cfg.lockmax - cfg.noc - 1)
+    lvalid = jnp.arange(Lw, dtype=jnp.int32) < s.num_locked
+    lvals = jnp.where(lvalid, s.locked_vals, 0).astype(vdt)
+    lres = jnp.where(lvalid, s.locked_res, big)
+    lkeys = target_sort_keys(lvals, cfg.target, shifts, sidx).astype(rdt)
 
-    evecs_basis = win.cands.X[:, bidx]
-    evecs_locked = s.evecs[:, cfg.noc + lidx]
-    out_vecs = jnp.where(from_locked[None, :], evecs_locked, evecs_basis)
-    out_vals = jnp.where(from_locked, s.locked_vals[lidx], basis_vals[bidx])
-    out_res = jnp.where(from_locked, s.locked_res[lidx], basis_res[bidx])
+    act = win.sol.active[:c]
+    wvals = jnp.where(act & (jnp.abs(win.sol.hvals[:c]) < big),
+                      win.sol.hvals[:c], 0).astype(vdt)
+    wres = jnp.where(act, win.cands.resnorms, big)
+    wkeys = target_sort_keys(wvals, cfg.target, shifts, sidx).astype(rdt)
 
-    keys = target_sort_keys(out_vals, cfg.target,
-                            shifts.astype(rdt),
-                            jnp.zeros((), jnp.int32))
-    keys = jnp.where(out_res >= big, jnp.asarray(jnp.finfo(rdt).max, rdt),
-                     keys)
-    order = jnp.argsort(keys)
-    out_vals = out_vals[order]
-    out_vecs = out_vecs[:, order]
-    out_res = out_res[order]
+    # converged pairs outrank unconverged ones whatever their key (an
+    # unconverged Ritz mixture must not displace a converged pair from a
+    # partial result); within each class, order by target preference.
+    passing = jnp.concatenate([lvalid, win.passes])
+    valid = jnp.concatenate([lvalid, act])
+    keys = jnp.concatenate([lkeys, wkeys])
+    keys = jnp.clip(keys, -big / 16, big / 16)
+    keys = keys + jnp.where(passing, 0, big / 8) + jnp.where(valid, 0,
+                                                             big / 4)
+    order = jnp.argsort(keys)[:ne]
+
+    from_locked = order < Lw
+    lcol = jnp.clip(order, 0, Lw - 1)
+    wcol = jnp.clip(order - Lw, 0, c - 1)
+    out_vals = jnp.where(from_locked, lvals[lcol], wvals[wcol])
+    out_res = jnp.where(from_locked, lres[lcol], wres[wcol])
+    out_vecs = jnp.where(from_locked[None, :],
+                         s.evecs[:, cfg.noc + lcol].astype(
+                             win.cands.X.dtype),
+                         win.cands.X[:, wcol])
+    # slots with no pair: NaN eigenvalue, +inf residual (honest absence)
+    missing = jnp.where(from_locked, ~lvalid[lcol], ~act[wcol])
+    out_vals = jnp.where(missing, jnp.asarray(jnp.nan, vdt), out_vals)
+    out_res = jnp.where(missing, jnp.asarray(jnp.inf, rdt), out_res)
     return EigsResult(evals=out_vals, evecs=out_vecs, resnorms=out_res,
                       stats=s.stats)
 
@@ -1284,7 +1712,7 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                                  jnp.asarray(seg_end, jnp.int32), debug,
                                  monitor, convtest)
             # host-side copy of run_segment's cond (minus the seg_end cap)
-            if bool(s.done) \
+            if bool(s.done) or bool(s.give_up) \
                     or int(s.stats.num_outer_iterations) >= cfg.max_outer \
                     or int(s.stats.num_matvecs) >= cfg.max_matvecs:
                 break

@@ -165,6 +165,14 @@ class PrimmeParams:
     # TPU-specific knobs (no reference analogue)
     internal_dtype: Optional[Any] = None  # working precision override
     rng_seed: int = 0
+    # Spectrum-verification probe rounds (capability beyond the reference:
+    # upstream PRIMME can silently return an incomplete degenerate cluster
+    # when blockSize < multiplicity — measured on the 32^3 Laplacian it
+    # misses 3-fold cluster members at blockSize=2). Each round injects a
+    # random block and converges maxBlockSize extra pairs just far enough
+    # to prove nothing sorts inside the returned set. UNSET -> 6 rounds;
+    # 0 disables (reference-equivalent behavior).
+    verify_spectrum: int = UNSET
 
     def with_(self, **kw) -> "PrimmeParams":
         return replace(self, **kw)

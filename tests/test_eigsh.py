@@ -423,8 +423,12 @@ def test_init_basis_mode_user(tridiag):
 
     A, ref = tridiag
     w, v = np.linalg.eigh(A.toarray())
+    # verify_spectrum=0: this test measures the matvec cost of the init
+    # mode itself; the spectrum-verification probe would add a (correct
+    # but budgeted) extra-pair solve on top.
     p = PrimmeParams(n=A.shape[0], num_evals=2, target=Target.smallest,
-                     eps=1e-10, init_basis_mode=InitBasisMode.user)
+                     eps=1e-10, init_basis_mode=InitBasisMode.user,
+                     verify_spectrum=0)
     p = resolve_defaults(p)
     cfg = make_config(p)
     assert cfg.init_user
