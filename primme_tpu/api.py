@@ -51,7 +51,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           mesh: Any = None, convtest: Any = None, printLevel: int = 0,
           maxInnerIterations: Optional[int] = None,
           time_breakdown: bool = False,
-          segment_outer: Optional[int] = None):
+          segment_outer: Optional[int] = None,
+          verify_spectrum: Optional[int] = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -121,6 +122,10 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         p = p.with_(max_outer_iterations=int(maxiter))
     if maxMatvecs is not None:
         p = p.with_(max_matvecs=int(maxMatvecs))
+    if verify_spectrum is not None:
+        # 0 disables the spectrum-verification probe (reference-equivalent
+        # semantics: a degenerate cluster may come back incomplete)
+        p = p.with_(verify_spectrum=int(verify_spectrum))
     # Preconditioner: explicit OPinv wins; else Jacobi if requested/possible.
     K = None
     if OPinv is not None:

@@ -402,6 +402,9 @@ class Candidates(NamedTuple):
     BX: jax.Array        # B X (alias X if B None)
     R: jax.Array         # residuals W h - B X diag(lambda)
     resnorms: jax.Array  # [c] 2-norms of R columns
+    xnorms: jax.Array    # [c] 2-norms of X columns (a real Ritz vector has
+                         # norm ~1; ~0 flags a pair supported on collapsed
+                         # basis columns, whose residual is trivially zero)
 
 
 def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
@@ -417,7 +420,10 @@ def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
     lam = jnp.where(jnp.isfinite(hvals_c), hvals_c, 0).astype(X.dtype)
     R = WX - BX * lam[None, :]
     resnorms = jnp.linalg.norm(R, axis=0)
-    return Candidates(X=X, WX=WX, BX=BX, R=R, resnorms=jnp.real(resnorms))
+    xnorms = jnp.linalg.norm(X, axis=0)
+    return Candidates(X=X, WX=WX, BX=BX, R=R,
+                      resnorms=jnp.real(resnorms),
+                      xnorms=jnp.real(xnorms))
 
 
 # ---------------------------------------------------------------------------

@@ -407,8 +407,11 @@ class Window(NamedTuple):
     n_needed: jax.Array    # remaining sought pairs
     nconv: jax.Array       # converged targets in window
     tol: jax.Array
-    passes: jax.Array      # [cwin] bool: active pair passing the residual
+    passes: jax.Array      # [cwin] bool: live pair passing the residual
                            # test regardless of target position (probe sizing)
+    live: jax.Array        # [cwin] bool: active AND unit-norm Ritz vector
+                           # (excludes pairs supported on collapsed columns,
+                           # whose residual is trivially ~0)
 
 
 def _ortho_counts(cfg: SolveConfig, has_locked: bool):
@@ -479,7 +482,9 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     hl_c = sol.hvals[:c]
     cands = compute_residuals(s.V, s.W, s.BV if has_B else None,
                               hv_c, hl_c)
-    active = sol.active[:c]
+    # a pair supported on collapsed (zero) basis columns has X ~ 0 and a
+    # trivially tiny residual — it is not a pair at all
+    active = sol.active[:c] & (cands.xnorms > 0.5)
     finite = jnp.where(active, jnp.where(jnp.isfinite(hl_c), hl_c, 0), 0)
     anorm_est = jnp.maximum(s.stats.anorm_estimate,
                             jnp.max(jnp.abs(finite)))
@@ -585,7 +590,7 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
         num_practical=_i32(s.stats.num_practical
                            + jnp.sum(weak_only.astype(jnp.int32))))
     return Window(sol, cands, conv, is_target, n_needed, nconv, tol,
-                  (passes & active) | conv), stats
+                  (passes & active) | conv, active), stats
 
 
 def _kth_best_key(cfg: SolveConfig, s: SolverState, win: Window, shifts):
@@ -721,9 +726,13 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         sol = solve_H_rr(Hp, w, cfg.target, shifts, sidx)
         hb = sol.hvals[:blk]
         keys = target_sort_keys(hb, cfg.target, shifts, sidx).astype(rdt)
-        found2 = sol.active[0] & (keys[0] < bar - margin)
         Cb = sol.hvecs[:, :blk]
         Xb = bcomb(P, Cb)
+        # a pair supported on a collapsed (zero) probe column is not a
+        # pair — at span exhaustion block_ortho's random replacement can
+        # also collapse, leaving zero columns whose Ritz value is 0
+        xb0 = jnp.real(jnp.linalg.norm(Xb[:, 0]))
+        found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin)
         lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
         Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
         if K is not None:
@@ -746,27 +755,38 @@ def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
     (caller guarantees ``s.b + blk <= mmax``). The injected pair's Ritz
     value sorts inside the current set, so the main loop targets and
     converges it like any candidate."""
+    blk = cfg.blk
     key, kk = jax.random.split(s.key)
     locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
     ores = block_ortho(Xb, (s.V, s.BV if B is not None else s.V), locked,
-                       _i32(cfg.blk), kk, Bop=B,
+                       _i32(blk), kk, Bop=B,
                        locked_count=_i32(cfg.noc + s.num_locked))
-    V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
-    BV = (_dus(s.BV, ores.BX.astype(s.BV.dtype), 0, s.b)
+    # compact surviving columns to the front and only count those — at
+    # span exhaustion even random replacements collapse to zero, and a
+    # zero column counted in b shows up as a fake converged 0-pair
+    cn2 = jnp.real(jnp.sum(ores.X.conj() * ores.X, axis=0))
+    srt = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
+                      + _BIG * (cn2 < 0.25).astype(jnp.int32))
+    nc = _i32(jnp.sum((cn2 >= 0.25).astype(jnp.int32)))
+    keepf = (jnp.arange(blk) < nc).astype(ores.X.dtype)[None, :]
+    Xs = ores.X[:, srt] * keepf
+    BXs = ores.BX[:, srt] * keepf if B is not None else Xs
+    V = _dus(s.V, Xs.astype(s.V.dtype), 0, s.b)
+    BV = (_dus(s.BV, BXs.astype(s.BV.dtype), 0, s.b)
           if B is not None else s.BV)
-    Y = A.matmat(ores.X)
+    Y = A.matmat(Xs)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
     hc = gram(V, Y)
     H = _dus(s.H, hc, 0, s.b)
     if cfg.hermitian:
         H = _dus(H, _herm(hc), s.b, 0)
     else:
-        hr = gram(ores.X, W)
+        hr = gram(Xs, W)
         H = _dus(H, hr, s.b, 0)
     stats = s.stats._replace(
-        num_matvecs=_i32(s.stats.num_matvecs + cfg.blk))
-    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + cfg.blk),
+        num_matvecs=_i32(s.stats.num_matvecs + nc))
+    return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc),
                       key=key, stats=stats)
 
 
@@ -775,7 +795,7 @@ def _unconverged_order(win: Window):
     order preserved within each class), converged next, padding last."""
     c = win.conv.shape[0]
     idx = jnp.arange(c, dtype=jnp.int32)
-    active = win.sol.active[:c]
+    active = win.live
     key = idx + _BIG * win.conv.astype(jnp.int32) \
         + 4 * _BIG * (~active).astype(jnp.int32)
     return jnp.argsort(key)
@@ -835,7 +855,7 @@ def _robust_shifts(cfg: SolveConfig, s: SolverState, win: Window,
     big = jnp.asarray(jnp.finfo(rdt).max / 8, rdt)
     tiny = jnp.finfo(rdt).tiny
     hl = win.sol.hvals[:c].astype(rdt)
-    act = win.sol.active[:c]
+    act = win.live
     hv = jnp.where(act, jnp.where(jnp.isfinite(hl), hl, 0), big)
     n_act = _i32(jnp.sum(act.astype(jnp.int32)))
 
@@ -1120,7 +1140,7 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     and to un-starve a basis with no unconverged candidates left."""
     blk, c, mmax, kmax = cfg.blk, cfg.cwin, cfg.mmax, cfg.kmax
     order = _unconverged_order(win)
-    n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
+    n_unconv = _i32(jnp.sum((~win.conv & win.live
                              & win.is_target).astype(jnp.int32)))
     nc = _i32(jnp.minimum(blk, n_unconv))
     if force_random is not None:
@@ -1143,7 +1163,7 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     if kmax > 0:
         pidx = order[:kmax]
         pvalid = (jnp.arange(kmax) < jnp.minimum(
-            kmax, _i32(jnp.sum(win.sol.active[:c].astype(jnp.int32)))))
+            kmax, _i32(jnp.sum(win.live.astype(jnp.int32)))))
         prev = win.sol.hvecs[:, :c][:, pidx] * pvalid.astype(s.H.dtype)[None, :]
     else:
         prev = s.prev_hvecs
@@ -1449,7 +1469,7 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
         n_base = jnp.clip(ne_i - locked, 0, c)
         nconv_base = _i32(jnp.sum((win.conv & (pos < n_base)
                                    ).astype(jnp.int32)))
-        n_unconv = _i32(jnp.sum((~win.conv & win.sol.active[:c]
+        n_unconv = _i32(jnp.sum((~win.conv & win.live
                                  & win.is_target).astype(jnp.int32)))
         # the requested pairs all pass — pending spectrum verification.
         # The n_unconv term covers locking-phase intruders (window pairs
@@ -1514,7 +1534,7 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
         # main_iter.c:855-884; explicit stagnation tracking is the jit-
         # friendly equivalent).
         rinf_t = jnp.asarray(jnp.finfo(win.tol.dtype).max, win.tol.dtype)
-        unconv_t = ~win.conv & win.is_target & win.sol.active[:cfg.cwin]
+        unconv_t = ~win.conv & win.is_target & win.live
         cur_res = jnp.min(jnp.where(unconv_t, win.cands.resnorms, rinf_t))
         # true stalls plateau bit-exactly (accumulated-roundoff floors),
         # while slow-but-healthy configs (e.g. maxBasisSize=3) still gain
@@ -1643,7 +1663,7 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
     lres = jnp.where(lvalid, s.locked_res, big)
     lkeys = target_sort_keys(lvals, cfg.target, shifts, sidx).astype(rdt)
 
-    act = win.sol.active[:c]
+    act = win.live
     wvals = jnp.where(act & (jnp.abs(win.sol.hvals[:c]) < big),
                       win.sol.hvals[:c], 0).astype(vdt)
     wres = jnp.where(act, win.cands.resnorms, big)

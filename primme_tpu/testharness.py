@@ -129,6 +129,11 @@ def build_params(cfg: TestConfig, n: int) -> PrimmeParams:
     return p
 
 
+# extra matvec budget granted for the spectrum-verification probe rounds
+# (the reference's budgets predate this capability; see core/solver.py)
+_PROBE_ALLOWANCE = 2000
+
+
 class CheckResult:
     def __init__(self):
         self.ok = True
@@ -143,21 +148,35 @@ class CheckResult:
         return "OK" if self.ok else "; ".join(self.messages)
 
 
-def run_config(path: str, base_dir: str = None, mv_slack: float = 4.0,
-               eps_slack: float = 20.0) -> CheckResult:
+def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
+               eps_slack: float = 5.0, dtype=None) -> CheckResult:
     """Run one golden-file config and check the solution
-    (``check_solution``, ``tests/COMMON/ioandtest.c:70-135``)."""
+    (``check_solution``, ``tests/COMMON/ioandtest.c:70-135``).
+
+    ``dtype=complex``: run the config in doublecomplex the way the
+    reference suite runs every ``test_0??`` twice
+    (``tests/Makefile:98-101``) — the matrix is cast and the complex
+    code path is exercised against the ``sol_???_doublecomplex`` golden.
+    """
     import scipy.io as sio
     import scipy.sparse as sp
 
     base_dir = base_dir or os.path.join(os.path.dirname(path), "..")
     cfg = parse_config(path)
     A = sp.csr_matrix(sio.mmread(os.path.join(base_dir, cfg.matrix_file)))
+    is_complex = np.iscomplexobj(A.data) or (
+        dtype is not None and np.issubdtype(np.dtype(dtype), np.complexfloating))
+    if is_complex:
+        A = A.astype(np.complex128)
     n = A.shape[0]
     p = build_params(cfg, n)
-    # budget slack: counts differ from the reference's by implementation
+    # budget slack: counts differ from the reference's by implementation.
+    # The spectrum-verification probe (a capability the reference lacks)
+    # costs extra matvecs on top; its budget is granted separately so the
+    # solve itself is held to mv_slack * the reference's own budget.
     if p.max_matvecs < (1 << 60):
-        p = p.with_(max_matvecs=int(p.max_matvecs * mv_slack))
+        p = p.with_(max_matvecs=int(p.max_matvecs * mv_slack)
+                    + _PROBE_ALLOWANCE)
 
     K = None
     has_prec = cfg.prec_choice not in ("noprecond", "")
@@ -177,11 +196,13 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 4.0,
         from .core.inner import jdqmr_inner_solve as inner
 
     Aop = aslinearoperator(A)
+    wd = np.complex128 if is_complex else None
     if p.dynamic_method_switch:
         from .core.dynamic import solve_eigs_dynamic
-        res = solve_eigs_dynamic(Aop, p, K=K, has_precond=has_prec)
+        res = solve_eigs_dynamic(Aop, p, K=K, has_precond=has_prec,
+                                 dtype=wd)
     else:
-        res = solve_eigs(Aop, p, K=K, inner_solve=inner)
+        res = solve_eigs(Aop, p, K=K, inner_solve=inner, dtype=wd)
 
     evals = np.asarray(res.evals)
     evecs = np.asarray(res.evecs)
@@ -205,15 +226,25 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 4.0,
               f"residuals {rn.max():.2e} > {eps_slack * eps * anorm:.2e}")
 
     # 3. angle vs stored golden eigenvectors (ioandtest.c:125-135)
-    solfile = os.path.join(base_dir, cfg.check_x_file + "_double")
+    suffix = "_doublecomplex" if is_complex else "_double"
+    solfile = os.path.join(base_dir, cfg.check_x_file + suffix)
     if os.path.exists(solfile):
         Xs = read_sol_evecs(solfile)
         # projection of each computed vector onto the golden span
         C = Xs.conj().T @ evecs                       # [cols, k]
         proj = np.linalg.norm(C, axis=0)
         sin_angle = np.sqrt(np.maximum(0.0, 1.0 - proj ** 2))
-        out.check(sin_angle.max() < 1e-4,
-                  f"angle to golden evecs {sin_angle.max():.2e}")
+        # Davis-Kahan style bound, like the reference's
+        # bound = aNorm * eps / delta with delta the minimum separation
+        # of the returned eigenvalues (ioandtest.c:88-91,141)
+        sv = np.sort(np.real(evals))
+        delta = float(np.diff(sv).min()) if k >= 2 else anorm
+        delta = max(delta, 1e-300)
+        # floor: golden vectors are themselves only residual-accurate
+        bound = max(np.sqrt(2.0) * eps_slack * eps * anorm / delta, 1e-6)
+        out.check(sin_angle.max() < bound,
+                  f"angle to golden evecs {sin_angle.max():.2e} "
+                  f"> {bound:.2e}")
     return out
 
 
@@ -255,9 +286,10 @@ def read_sol_svecs(path: str):
 
 
 def run_svds_config(path: str, base_dir: str = None,
-                    eps_slack: float = 50.0) -> CheckResult:
+                    eps_slack: float = 5.0, dtype=None) -> CheckResult:
     """Run one SVD golden-file config (test_2??; driver
-    ``tests/driversvds.c``)."""
+    ``tests/driversvds.c``). ``dtype=complex`` runs the doublecomplex
+    variant (``tests/Makefile:98-101``)."""
     import scipy.io as sio
     import scipy.sparse as sp
     from .svds import svds as svds_fn
@@ -265,6 +297,10 @@ def run_svds_config(path: str, base_dir: str = None,
     base_dir = base_dir or os.path.join(os.path.dirname(path), "..")
     cfg = parse_config(path)
     A = sp.csr_matrix(sio.mmread(os.path.join(base_dir, cfg.matrix_file)))
+    is_complex = np.iscomplexobj(A.data) or (
+        dtype is not None and np.issubdtype(np.dtype(dtype), np.complexfloating))
+    if is_complex:
+        A = A.astype(np.complex128)
     f = cfg.fields
     k = int(f.get("numSvals", 6))
     eps = float(f.get("eps", 1e-6))
@@ -324,7 +360,8 @@ def run_svds_config(path: str, base_dir: str = None,
 
     # angles vs stored golden vectors (skip when the returned set differs
     # legitimately inside a cluster)
-    solfile = os.path.join(base_dir, cfg.check_x_file + "svds_double")
+    suffix = "svds_doublecomplex" if is_complex else "svds_double"
+    solfile = os.path.join(base_dir, cfg.check_x_file + suffix)
     if os.path.exists(solfile):
         Us, Vs = read_sol_svecs(solfile)
         gold_sv = np.linalg.norm(np.asarray(A @ Vs), axis=0)
