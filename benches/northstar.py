@@ -1,0 +1,80 @@
+"""North-star benchmark (BASELINE.md:26): 128^3 Laplacian, smallest
+eigenpairs to TRUE residual 1e-10*||A||, single host.
+
+Architecture: f32 solve on the TPU MXU (fast path) + float64 LOBPCG
+polish on the host CPU (primme_tpu.refine) — TPU matmuls have no f64
+datapath (measured ~5e-6 Gram accuracy on-chip even at
+Precision.HIGHEST), so the f64 tail runs where f64 is real, exactly like
+the reference's host-resident HSCALAR policy.
+
+Run:  python benches/northstar.py [--k 10] [--nx 128]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--tol", type=float, default=1e-10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from primme_tpu import (PrimmeParams, Method, set_method,
+                            Stencil3DOperator, JacobiPrecond,
+                            ChebyshevPrecond)
+    from primme_tpu.core.solver import solve_eigs
+    from primme_tpu.core.inner import jdqmr_inner_solve
+    from primme_tpu.refine import refine_eigsh
+
+    nx, k = args.nx, args.k
+    n = nx ** 3
+    t0 = time.perf_counter()
+    with jax.enable_x64(False):
+        A32 = Stencil3DOperator(nx, nx, nx, dtype=jnp.float32)
+        K32 = JacobiPrecond(A32.diagonal())
+        p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=24,
+                         max_block_size=2, min_restart_size=k + 4,
+                         max_matvecs=60000, locking=0)
+        p = set_method(Method.JDQMR_ETol, p, has_precond=True)
+        v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 2)),
+                         jnp.float32)
+        r = solve_eigs(A32, p, K=K32, v0=v0, dtype=jnp.float32,
+                       inner_solve=jdqmr_inner_solve, segment_outer=100)
+        r.evals.block_until_ready()
+        X32 = np.asarray(r.evecs)
+    t32 = time.perf_counter() - t0
+    print(f"f32 stage ({jax.devices()[0].platform}): {t32:.1f}s "
+          f"mv={int(r.stats.num_matvecs)} "
+          f"probes={int(r.stats.num_probe_rounds)}", flush=True)
+
+    A64 = Stencil3DOperator(nx, nx, nx, dtype=jnp.float64)
+    K64 = ChebyshevPrecond.from_operator(A64, degree=8)
+    t0 = time.perf_counter()
+    ev, X, st = refine_eigsh(A64, X32, tol=args.tol, OPinv=K64,
+                             maxiter=200, return_stats=True)
+    t64 = time.perf_counter() - t0
+
+    ax = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    m = min(nx, max(4, int(np.ceil(k ** (1 / 3))) + 3))
+    lam = np.sort((ax[:m, None, None] + ax[None, :m, None]
+                   + ax[None, None, :m]).ravel())[:k]
+    err = float(np.abs(ev - lam).max())
+    relres = float(st["resnorms"].max() / st["anorm_estimate"])
+    ok = relres <= args.tol and err < 1e-10
+    print(f"f64 refine (host): {t64:.1f}s iters={st['num_refine_iters']}")
+    print(f"eval_err_vs_analytic: {err:.2e}")
+    print(f"max_res/||A||: {relres:.2e}  (target {args.tol:g})")
+    print(f"ok: {ok}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

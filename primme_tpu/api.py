@@ -242,21 +242,23 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         if K is not None:
             K = CastOperator(K, wd)
 
-    if p.dynamic_method_switch:
-        from .core.dynamic import solve_eigs_dynamic
-        res: EigsResult = solve_eigs_dynamic(
-            Aop, p, B=Mop, K=K, v0=v0j, ortho_const=oc, dtype=dtype,
-            has_precond=K is not None, shard=shard, monitor=mon,
-            convtest=convtest)
-    else:
+    def _run_solve():
+        if p.dynamic_method_switch:
+            from .core.dynamic import solve_eigs_dynamic
+            return solve_eigs_dynamic(
+                Aop, p, B=Mop, K=K, v0=v0j, ortho_const=oc, dtype=dtype,
+                has_precond=K is not None, shard=shard, monitor=mon,
+                convtest=convtest)
         inner = None
         if p.max_inner_iterations != 0:
             from .core.inner import jdqmr_inner_solve
             inner = jdqmr_inner_solve
-        res = solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
-                         ortho_const=oc, inner_solve=inner, dtype=dtype,
-                         monitor=mon, shard=shard, convtest=convtest,
-                         segment_outer=segment_outer)
+        return solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
+                          ortho_const=oc, inner_solve=inner, dtype=dtype,
+                          monitor=mon, shard=shard, convtest=convtest,
+                          segment_outer=segment_outer)
+
+    res: EigsResult = _run_solve()
 
     resnorms = np.asarray(res.resnorms)
     anorm = float(res.stats.anorm_estimate)
@@ -280,11 +282,25 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     stats["num_broadcast"] = 0
     stats["volume_broadcast"] = 0
     if time_breakdown and return_stats:
-        from .profiling import time_breakdown as _tb
-        stats = _tb(Aop, K, stats, mmax=p.max_basis_size,
-                    blk=p.max_block_size,
-                    cwin=min(p.max_basis_size, k + p.max_block_size),
-                    dtype=(dtype or Aop.dtype), n=n)
+        # MEASURED in-solve breakdown: re-run the solve once under the XLA
+        # profiler, attribute device self-times to the solver's phase
+        # scopes (profiling.measure_breakdown). Falls back to the
+        # representative-kernel estimate on backends whose profiler
+        # exposes no per-op device stats (CPU).
+        from .profiling import measure_breakdown, time_breakdown as _tb
+        measured: dict = {}
+        try:
+            measured = measure_breakdown(_run_solve)
+        except Exception:
+            measured = {}
+        if measured:
+            stats.update(measured)
+        else:
+            stats = _tb(Aop, K, stats, mmax=p.max_basis_size,
+                        blk=p.max_block_size,
+                        cwin=min(p.max_basis_size, k + p.max_block_size),
+                        dtype=(dtype or Aop.dtype), n=n)
+            stats["time_source"] = "estimated"
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}

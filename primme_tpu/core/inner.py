@@ -38,6 +38,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+
+def _mv(Op, X):
+    with jax.named_scope("pt_matvec"):
+        return Op.matmat(X)
+
+
 from ..params import ConvTest, Target
 from .linalg import real_dtype, machine_eps, gram, bcomb, prefix_project
 
@@ -106,8 +112,8 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
     # --- projected operator -------------------------------------------------
     def apply_A_proj(D):
-        W = A.matmat(D)
-        BD = B.matmat(D) if B is not None else D
+        W = _mv(A, D)
+        BD = _mv(B, D) if B is not None else D
         W = W - BD * shift[None, :].astype(dtype)
         if cfg.leftQ and has_lockedQ:
             W = prefix_project(BQ, Q, W, nlockq)
@@ -231,8 +237,8 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         first = st.its == 0
         sol = jnp.where((bad & am & first)[None, :], -st.g, st.sol)
         upd = (am & ~bad)
-        updf = upd.astype(dtype)[None, :]
-        g = st.g - w * (alpha.astype(dtype) * upd.astype(rdt))[None, :]
+        updr = upd.astype(rdt)
+        g = st.g - w * (alpha * updr).astype(dtype)[None, :]
 
         gnorm = jnp.sqrt(jnp.maximum(_dots(g, g), 0.0))
         theta = gnorm / st.tau_prev
@@ -240,10 +246,14 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         tau = st.tau_prev * theta * jnp.sqrt(c2)
         gamma = c2 * st.theta_prev ** 2
         eta = alpha * c2
-        delta = st.delta * gamma.astype(dtype)[None, :] \
-            + st.d * eta.astype(dtype)[None, :]
-        sol = jnp.where(updf != 0, sol + delta, sol)
-        delta = jnp.where(updf != 0, delta, st.delta)
+        # frozen columns: fold the mask into the scalar coefficients
+        # (delta stays, sol untouched) instead of [n, blk] selects — a
+        # select is a full extra array pass per iteration on the VPU
+        gamma_eff = jnp.where(upd, gamma, 1.0)
+        eta_eff = jnp.where(upd, eta, 0.0)
+        delta = st.delta * gamma_eff.astype(dtype)[None, :] \
+            + st.d * eta_eff.astype(dtype)[None, :]
+        sol = sol + delta * updr.astype(dtype)[None, :]
 
         # --- convergence decisions (inner_solve.c:427-585) ---------------
         stop = bad
@@ -253,7 +263,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
         if adaptive:
             if B is not None:
-                Bsol = B.matmat(sol)
+                Bsol = _mv(B, sol)
                 dot_sol = _dots(sol, Bsol)
             else:
                 dot_sol = _dots(sol, sol)
@@ -307,18 +317,22 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         alive_next = am & ~stop
 
         # --- next direction ------------------------------------------------
+        # dead columns contribute K(0) = 0 to y, so folding the masks into
+        # the [blk] coefficients (beta_eff = 1 freezes d) avoids two more
+        # full-array selects; g needs none at all (alpha was masked).
         y = apply_K_proj(g * alive_next.astype(dtype)[None, :])
         rho = _dots(g, y)
         beta = jnp.where(st.rho_prev != 0, rho / st.rho_prev, 0.0)
-        d = y + st.d * beta.astype(dtype)[None, :]
+        beta_eff = jnp.where(alive_next, beta, 1.0)
+        d = y + st.d * beta_eff.astype(dtype)[None, :]
         anf = alive_next.astype(rdt)
         annf = 1.0 - anf
 
         nalive = jnp.sum(am.astype(jnp.int32)).astype(jnp.int32)
         return QmrState(
             sol=sol,
-            g=jnp.where(updf != 0, g, st.g),
-            d=jnp.where(alive_next[None, :], d, st.d),
+            g=g,
+            d=d,
             delta=delta, alive=alive_next,
             rho_prev=rho * anf + st.rho_prev * annf,
             tau_prev=tau * anf + st.tau_prev * annf,
@@ -388,7 +402,7 @@ def normal_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
 
     def op(D):
         Z = prec(D)
-        return project(A.matmat(Z) - Z * shift[None, :])
+        return project(_mv(A, Z) - Z * shift[None, :])
 
     m = cfg.max_inner if cfg.max_inner > 0 else 15
     m = max(1, min(m, 64))

@@ -193,14 +193,32 @@ def _chol_qr(X, BX, active_bs, thresh2):
     Gs = G * keep[:, None] * keep[None, :] + jnp.diag(unit).astype(X.dtype)
     L = jnp.linalg.cholesky(Gs)  # lower, Gs = L L^H
     # X <- X L^{-H} so that X^H B X = I on the good active columns.
-    Xn = _herm(jax.scipy.linalg.solve_triangular(L, _herm(X), lower=True))
-    BXn = _herm(jax.scipy.linalg.solve_triangular(L, _herm(BX), lower=True))
+    # Invert the tiny replicated factor and apply it as a matmul: a
+    # triangular_solve with an [n, bs] right-hand side runs on the TPU's
+    # slow serial path (~120us at n=262k) while the MXU streams the same
+    # update at HBM speed (~12us). G is CGS-conditioned so the explicit
+    # small inverse is safe.
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(bs, dtype=X.dtype), lower=True)
+    C = _herm(Linv)
+    Xn = bcomb(X, C).astype(X.dtype)
+    BXn = bcomb(BX, C).astype(BX.dtype)
     # Bad / inactive columns are zeroed (they were fed the identity).
     good = (amask & ~bad).astype(X.dtype)
     return Xn * good[None, :], BXn * good[None, :], bad
 
 
-def block_ortho(X: jax.Array,
+def block_ortho(X, basis, locked, active_bs, key, Bop=None,
+                n_iters: int = 2, locked_count=None) -> OrthoResult:
+    """Scoped entry (``pt_ortho`` profiler attribution, timeOrtho) for
+    :func:`_block_ortho_impl` — see its docstring."""
+    with jax.named_scope("pt_ortho"):
+        return _block_ortho_impl(X, basis, locked, active_bs, key,
+                                 Bop=Bop, n_iters=n_iters,
+                                 locked_count=locked_count)
+
+
+def _block_ortho_impl(X: jax.Array,
                 basis: Tuple[jax.Array, jax.Array],
                 locked: Optional[Tuple[jax.Array, jax.Array]],
                 active_bs: jax.Array,
@@ -338,6 +356,19 @@ class ProjectedSolution(NamedTuple):
     active: jax.Array  # [mmax] bool, col j is a real (in-basis) pair
 
 
+
+def _dense_scope(fn):
+    """``pt_dense`` profiler attribution (timeDense) for the projected
+    solves; see profiling.measure_breakdown."""
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapped(*a, **k):
+        with jax.named_scope("pt_dense"):
+            return fn(*a, **k)
+    return wrapped
+
+@_dense_scope
 def solve_H_rr(H: jax.Array, b: jax.Array, target: Target,
                shifts: jax.Array, shift_idx: jax.Array,
                G: Optional[jax.Array] = None) -> ProjectedSolution:
@@ -414,16 +445,17 @@ def compute_residuals(V, W, BV, hvecs_c, hvals_c) -> Candidates:
     (``src/eigs/auxiliary_eigs_normal.c:101-155``). ``hvecs_c`` is
     ``[mmax, c]``, ``hvals_c`` ``[c]`` (padded entries must have zero
     coefficient columns)."""
-    X = bcomb(V, hvecs_c)
-    WX = bcomb(W, hvecs_c)
-    BX = X if BV is None else bcomb(BV, hvecs_c)
-    lam = jnp.where(jnp.isfinite(hvals_c), hvals_c, 0).astype(X.dtype)
-    R = WX - BX * lam[None, :]
-    resnorms = jnp.linalg.norm(R, axis=0)
-    xnorms = jnp.linalg.norm(X, axis=0)
-    return Candidates(X=X, WX=WX, BX=BX, R=R,
-                      resnorms=jnp.real(resnorms),
-                      xnorms=jnp.real(xnorms))
+    with jax.named_scope("pt_dense"):   # timeDense (flopsDense kernel)
+        X = bcomb(V, hvecs_c)
+        WX = bcomb(W, hvecs_c)
+        BX = X if BV is None else bcomb(BV, hvecs_c)
+        lam = jnp.where(jnp.isfinite(hvals_c), hvals_c, 0).astype(X.dtype)
+        R = WX - BX * lam[None, :]
+        resnorms = jnp.linalg.norm(R, axis=0)
+        xnorms = jnp.linalg.norm(X, axis=0)
+        return Candidates(X=X, WX=WX, BX=BX, R=R,
+                          resnorms=jnp.real(resnorms),
+                          xnorms=jnp.real(xnorms))
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +516,7 @@ def complement_qr_R(V, W, H, b):
     return jnp.where(am2, G, 0)
 
 
+@_dense_scope
 def solve_H_refined(H, G, b, target: Target, shifts, shift_idx,
                     anorm=None, conv_eps=None):
     """Refined extraction (``solve_H_Ref``,
@@ -598,107 +631,7 @@ def solve_H_refined(H, G, b, target: Target, shifts, shift_idx,
     return ProjectedSolution(hvals=hvals, hvecs=hv2, active=~col_pad)
 
 
-def solve_H_refined_shift(H, R, b, target: Target, shifts, shift_idx,
-                    anorm=None, conv_eps=None):
-    """Refined extraction (``solve_H_Ref``,
-    ``src/eigs/solve_projection.c:541`` + the cluster machinery of
-    ``prepare_vecs``, ``solve_projection.c:842``).
-
-    The refined vectors are the right singular vectors of R (minimizers of
-    ||(A - tau B) V h|| = ||R h|| over unit h), ordered by ascending
-    singular value for interior (closest_*) targets — the reference's
-    order — and by target keys on their Rayleigh quotients for extreme
-    targets. Within clusters of singular values too close to separate at
-    working precision (gap test from ``prepare_vecs:925-935``), the
-    individual singular vectors are arbitrary rotations of each other, so
-    the cluster is re-diagonalized by Rayleigh-Ritz on its span — done
-    jit-statically for ALL clusters at once via one eigh of the
-    block-diagonal (by cluster) compression of H.
-
-    ``anorm``/``conv_eps`` feed the cluster gap test (the accuracy the
-    singular vectors need vs the accuracy they have); ``None`` falls back
-    to a single-cluster (full RR) solve on the first iteration.
-    """
-    mmax = H.shape[0]
-    rdt = real_dtype(H.dtype)
-    inf = jnp.asarray(jnp.finfo(rdt).max, rdt)
-    meps = machine_eps(H.dtype)
-    amask = col_mask(mmax, b)
-    am2 = amask[:, None] & amask[None, :]
-    Hm = jnp.where(am2, H, 0)
-    Rm = jnp.where(am2, R, 0)
-    # decoupled sentinel ramp above the active spectrum for pad columns
-    scale = 2.0 * jnp.max(jnp.abs(Rm)) + 1.0
-    ramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * scale
-    Rm = Rm + jnp.diag(jnp.where(amask, 0.0, ramp)).astype(H.dtype)
-    _, sv, Vh = jnp.linalg.svd(Rm)           # sv descending
-    hv = _herm(Vh)                            # columns = refined vectors
-    support_inactive = jnp.sum(
-        jnp.abs(hv) ** 2 * (~amask).astype(rdt)[:, None], axis=0)
-    is_pad = support_inactive > 0.5
-
-    # Rayleigh quotients of the (orthonormal) refined vectors
-    rq = jnp.real(jnp.sum(hv.conj() * (Hm @ hv), axis=0))
-
-    # ---- primary order ---------------------------------------------------
-    if target in (Target.closest_abs, Target.closest_leq,
-                  Target.closest_geq):
-        keys = jnp.where(is_pad, inf, sv)     # ascending sigma
-    else:
-        keys = target_sort_keys(rq, target, shifts.astype(rdt), shift_idx)
-        keys = jnp.where(is_pad, inf, keys)
-    order = jnp.argsort(keys)
-    sv, hv, rq, is_pad = sv[order], hv[:, order], rq[order], is_pad[order]
-
-    # ---- cluster detection (prepare_vecs gap test) -----------------------
-    # sin(svec error) ~ sigma_max*macheps/dsigma must beat
-    # sin(evec needed) ~ anorm*eps/dlambda; join the cluster when it can't.
-    if anorm is None or conv_eps is None:
-        brk = jnp.zeros((mmax,), jnp.bool_).at[0].set(True)
-    else:
-        an = jnp.maximum(jnp.asarray(anorm, rdt), jnp.finfo(rdt).tiny)
-        ce = jnp.maximum(jnp.asarray(conv_eps, rdt), 6.28 * meps)
-        smax = jnp.max(jnp.where(is_pad, 0.0, sv))
-        dlam = jnp.abs(rq - jnp.roll(rq, 1))
-        min_diff = jnp.sqrt(2.0) * smax * meps * dlam / (an * ce)
-        dsv = jnp.abs(sv - jnp.roll(sv, 1))
-        brk = (dsv >= min_diff) | is_pad | jnp.roll(is_pad, 1)
-        brk = brk.at[0].set(True)
-    cid = jnp.cumsum(brk.astype(jnp.int32)) - 1
-
-    # ---- within-cluster Rayleigh-Ritz (all clusters via one eigh) --------
-    S = gram(hv, Hm @ hv)
-    S = 0.5 * (S + _herm(S))
-    same = (cid[:, None] == cid[None, :]) & \
-        (~is_pad[:, None]) & (~is_pad[None, :])
-    Sc = jnp.where(same, S, 0)
-    sscale = 2.0 * jnp.max(jnp.abs(Sc)) + 1.0
-    sramp = (1.0 + jnp.arange(mmax, dtype=rdt)) * sscale
-    Sc = Sc + jnp.diag(jnp.where(is_pad, sramp, 0.0)).astype(H.dtype)
-    w, Z = jnp.linalg.eigh(Sc)
-    # Sc is exactly block-diagonal, so every eigenvector is supported on a
-    # single cluster; recover its cluster id from the support.
-    colw = jnp.abs(Z) ** 2
-    col_cid = jnp.sum(colw * cid.astype(rdt)[:, None], axis=0)
-    col_pad = jnp.sum(colw * is_pad.astype(rdt)[:, None], axis=0) > 0.5
-    hv2 = bcomb(hv, Z)
-
-    # final order: clusters keep their sigma rank; within a cluster sort by
-    # target keys of the RR values (solve_H_RR inside prepare_vecs)
-    tk = target_sort_keys(w, target, shifts.astype(rdt), shift_idx)
-    tk = jnp.where(col_pad, inf, tk)
-    ckey = jnp.where(col_pad, jnp.asarray(mmax + 1, rdt),
-                     jnp.round(col_cid))
-    order2 = jnp.lexsort((tk, ckey))
-    hv2 = hv2[:, order2]
-    w = w[order2]
-    col_pad = col_pad[order2]
-
-    hv2 = hv2 * (~col_pad).astype(H.dtype)[None, :]
-    hvals = jnp.where(col_pad, inf, w)
-    return ProjectedSolution(hvals=hvals, hvecs=hv2, active=~col_pad)
-
-
+@_dense_scope
 def solve_H_harmonic(H, R, b, target: Target, shifts, shift_idx):
     """Harmonic Rayleigh-Ritz (``solve_H_Harm``,
     ``src/eigs/solve_projection.c:430``): solve the Hermitian-definite
@@ -793,6 +726,7 @@ def orthonormalize_coeffs(C, valid, dtype_eps):
 # src/eigs/solve_projection.c:358)
 # ---------------------------------------------------------------------------
 
+@_dense_scope
 def solve_H_normal(H, b, target: Target, shifts, shift_idx
                    ) -> ProjectedSolution:
     """Projected solve for a *normal* operator: H = V^H A V is not

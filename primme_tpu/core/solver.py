@@ -169,6 +169,14 @@ class EigsResult(NamedTuple):
     stats: Stats
 
 
+
+def _mv(Op, X):
+    """Operator application under the ``pt_matvec`` profiler scope —
+    measured in-solve time attribution (timeMatvec,
+    ``include/primme_eigs.h:121``) via profiling.measure_breakdown."""
+    with jax.named_scope("pt_matvec"):
+        return Op.matmat(X)
+
 def _rand_block(key, n, bs, dtype):
     rdt = real_dtype(dtype)
     if jnp.issubdtype(dtype, jnp.complexfloating):
@@ -203,7 +211,7 @@ def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
     hw = jnp.maximum(hw, jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
 
     def t_apply(Y):
-        return (A.matmat(Y) - ctr * Y) / hw
+        return (_mv(A, Y) - ctr * Y) / hw
 
     y1 = t_apply(X)
 
@@ -279,7 +287,11 @@ def make_config(p: PrimmeParams) -> SolveConfig:
     """Distill resolved params into trace constants."""
     mmax, blk, ne = p.max_basis_size, p.max_block_size, p.num_evals
     noc = p.num_ortho_const
-    rounds = 6 if p.verify_spectrum < 0 else p.verify_spectrum
+    # Default round budget scales with k: every missed cluster member
+    # costs one (productive, strictly-improving) displacement round —
+    # with blockSize < multiplicity a solve can legitimately need O(k)
+    # of them before the two final clean rounds.
+    rounds = (p.num_evals + 6) if p.verify_spectrum < 0 else p.verify_spectrum
     # The probe subsolve covers Hermitian extreme-target problems (the
     # degenerate-cluster hazard class); interior targets and normal
     # operators run unverified like the reference.
@@ -379,7 +391,7 @@ def init_basis(A, B, cfg: SolveConfig, key, evecs, Bevecs, v0, dtype):
                           locked_count=_i32(cfg.noc))
         V2 = _dus(V, res.X.astype(V.dtype), 0, bi)
         BV2 = BV if B is None else _dus(BV, res.BX.astype(BV.dtype), 0, bi)
-        Y = A.matmat(res.X)
+        Y = _mv(A, res.X)
         W2 = _dus(W, Y.astype(W.dtype), 0, bi)
         return (V2, W2, BV2, Y.astype(cdt), key,
                 nrand + res.n_random.astype(jnp.int32))
@@ -684,9 +696,11 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     BP0 = jnp.zeros((n, pw), cdt) if has_B else jnp.zeros((n, 0), cdt)
 
     def deflate(Z):
-        for _ in range(2):
-            Z = Z - bcomb(Xc, gram(BXc, Z))
-        return Z
+        # one CGS pass: the converged Ritz vectors are orthonormal to
+        # residual accuracy, and probe detection only needs the deflated
+        # component to O(tol) — the found block is fully re-orthogonalized
+        # on injection (_append_probe_block)
+        return Z - bcomb(Xc, gram(BXc, Z))
 
     def cond(carry):
         (_, _, _, _, t, found, *_rest) = carry
@@ -714,10 +728,11 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
                                     lambda a: a, (P, WP, BP, w))
         key, kk2 = jax.random.split(key)
         ores = block_ortho(deflate(Z), (P, BP if has_B else P), locked,
-                           _i32(blk), kk2, Bop=B, locked_count=lcount)
+                           _i32(blk), kk2, Bop=B, locked_count=lcount,
+                           n_iters=1)
         P = _dus(P, ores.X.astype(cdt), 0, w)
         BP = _dus(BP, ores.BX.astype(cdt), 0, w) if has_B else BP
-        Y = A.matmat(ores.X)
+        Y = _mv(A, ores.X)
         WP = _dus(WP, Y.astype(cdt), 0, w)
         w = _i32(w + blk)
         mv = _i32(mv + blk)
@@ -775,7 +790,7 @@ def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
     V = _dus(s.V, Xs.astype(s.V.dtype), 0, s.b)
     BV = (_dus(s.BV, BXs.astype(s.BV.dtype), 0, s.b)
           if B is not None else s.BV)
-    Y = A.matmat(Xs)
+    Y = _mv(A, Xs)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
     hc = gram(V, Y)
     H = _dus(s.H, hc, 0, s.b)
@@ -1048,11 +1063,14 @@ def do_restart(cfg: SolveConfig, A, B, s: SolverState, win: Window,
     Cfull = jnp.zeros((mmax, mmax), s.H.dtype)
     Cfull = Cfull.at[:, :C.shape[1]].set(C)
 
-    # --- apply in coefficient space --------------------------------------
-    V = bcomb(s.V, Cfull).astype(s.V.dtype)
-    W = bcomb(s.W, Cfull).astype(s.W.dtype)
-    BV = bcomb(s.BV, Cfull).astype(s.BV.dtype) if has_B else s.BV
-    H = gram(Cfull, jnp.matmul(s.H, Cfull, precision=jax.lax.Precision.HIGHEST))
+    # --- apply in coefficient space (pt_dense: the restart half of the
+    # reference's Num_update_VWXR / timeDense accounting) ------------------
+    with jax.named_scope("pt_dense"):
+        V = bcomb(s.V, Cfull).astype(s.V.dtype)
+        W = bcomb(s.W, Cfull).astype(s.W.dtype)
+        BV = bcomb(s.BV, Cfull).astype(s.BV.dtype) if has_B else s.BV
+        H = gram(Cfull, jnp.matmul(s.H, Cfull,
+                                   precision=jax.lax.Precision.HIGHEST))
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
 
@@ -1113,7 +1131,7 @@ def _refill_random(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     V = _dus(s.V, res.X.astype(s.V.dtype), 0, 0)
     BV = (_dus(s.BV, res.BX.astype(s.BV.dtype), 0, 0)
           if B is not None else s.BV)
-    Y = A.matmat(res.X)
+    Y = _mv(A, res.X)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, 0)
     H = gram(V, Y)
     Hn = jnp.zeros_like(s.H)
@@ -1149,9 +1167,14 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     valid = jnp.arange(blk) < nc
     vmask = valid.astype(win.cands.X.dtype)[None, :]
 
-    R = win.cands.R[:, cand_idx] * vmask
-    X = win.cands.X[:, cand_idx] * vmask
-    BX = win.cands.BX[:, cand_idx] * vmask if B is not None else X
+    # column selection as a one-hot matmul: a gather on an [n, cwin]
+    # operand runs on the slow path, while the MXU streams the array at
+    # full HBM bandwidth (measured ~57us vs ~12us per selection at n=262k)
+    sel = (jax.nn.one_hot(cand_idx, c, dtype=real_dtype(win.cands.X.dtype))
+           .T.astype(win.cands.X.dtype)) * vmask
+    R = bcomb(win.cands.R, sel)
+    X = bcomb(win.cands.X, sel)
+    BX = bcomb(win.cands.BX, sel) if B is not None else X
     lam = win.sol.hvals[:c][cand_idx]
     res = win.cands.resnorms[cand_idx]
     if shifts is None:
@@ -1239,7 +1262,7 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
     BV = (_dus(s.BV, ores.BX.astype(s.BV.dtype), 0, s.b)
           if B is not None else s.BV)
-    Y = A.matmat(ores.X)
+    Y = _mv(A, ores.X)
     W = _dus(s.W, Y.astype(s.W.dtype), 0, s.b)
     hc = gram(V, Y)                      # [mmax, blk] new columns of H
     H = _dus(s.H, hc, 0, s.b)
@@ -1296,7 +1319,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
             V = la.prefix_project(s.evecs,
                                   s.Bevecs if B is not None else s.evecs,
                                   V, _i32(cfg.noc + s.num_locked))
-    Bv = B.matmat(V) if B is not None else V
+    Bv = _mv(B, V) if B is not None else V
     G = gram(V, Bv)
     G = 0.5 * (G + _herm(G))
     meps = machine_eps(s.V.dtype)
@@ -1310,7 +1333,7 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     C = U * scale[None, :]
     V = la.bcomb(V, C).astype(s.V.dtype)
     BV = la.bcomb(Bv, C).astype(s.BV.dtype) if B is not None else s.BV
-    W = A.matmat(V).astype(s.W.dtype)
+    W = _mv(A, V).astype(s.W.dtype)
     H = gram(V, W)
     if cfg.hermitian:
         H = 0.5 * (H + _herm(H))
@@ -1365,7 +1388,14 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
         cfg = cfg._replace(orth_explicit_I=True,
                            eps_floor=4.0 * machine_eps(dtype))
     if key is None:
-        key = jax.random.key(p.rng_seed)
+        # raw uint32 key: a TYPED key array carried through lax.while_loop
+        # crashes the TPU compiler under jax_enable_x64 (measured:
+        # "Invalid index {0} for shape u32[2]" in shape_util); the legacy
+        # raw-key representation lowers cleanly and is semantically
+        # identical for split/normal/fold_in
+        key = jax.random.PRNGKey(p.rng_seed)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
     shifts = _shift_array(p, rdt)
     s0 = _build_state_jit(cfg, A, B, v0, ortho_const, key, dtype, shard)
     return cfg, shifts, s0

@@ -532,7 +532,7 @@ class ChebyshevPrecond(LinearOperator):
         (the wanted eigenvalues must lie below ``a``)."""
         Aop = A if isinstance(A, LinearOperator) else aslinearoperator(A)
         n = Aop.shape[0]
-        key = jax.random.key(seed)
+        key = jax.random.PRNGKey(seed)
         rdt = jnp.zeros((), Aop.dtype).real.dtype
         x = jax.random.normal(key, (n, 1), rdt).astype(Aop.dtype)
         lam = jnp.ones((), rdt)
@@ -589,9 +589,10 @@ def apply_precond(K: Optional[LinearOperator], X: jax.Array,
     """
     if K is None:
         return X
-    if shifts is not None and hasattr(K, "matmat_shifted"):
-        return K.matmat_shifted(X, shifts)
-    return K.matmat(X)
+    with jax.named_scope("pt_precond"):   # timePrecond attribution
+        if shifts is not None and hasattr(K, "matmat_shifted"):
+            return K.matmat_shifted(X, shifts)
+        return K.matmat(X)
 
 
 def aslinearoperator(A: Any) -> LinearOperator:
