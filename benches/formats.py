@@ -72,6 +72,10 @@ def main():
     perm = rng.permutation(n)
     Ap = A[perm][:, perm].tocsr()
 
+    from primme_tpu import WindowedELLOperator
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    prcm = reverse_cuthill_mckee(Ap, symmetric_mode=True)
+    Ar = Ap[prcm][:, prcm].tocsr()
     cases = [
         ("stencil(7pt floor)", Stencil3DOperator(m, m, m, dtype=jnp.float32)),
         ("banded/DIA", BandedOperator.from_scipy(A)),
@@ -79,9 +83,13 @@ def main():
         ("BlockELL b=8", BlockELLOperator.from_scipy(A, block_size=8)),
         ("ELL permuted", ELLOperator.from_scipy(Ap)),
         ("BlockELL permuted b=8", BlockELLOperator.from_scipy(Ap, block_size=8)),
+        ("WindowedELL permuted+RCM", WindowedELLOperator.from_scipy(Ar)),
     ]
     budget = int(os.environ.get("FMT_BUDGET", "400"))
     for name, op in cases:
+        if op is None:
+            print(f"{name:24s} pack rejected", flush=True)
+            continue
         try:
             wall, mv = run_fixed(op, n, budget=budget)
             per_mv = wall / mv * 1e3

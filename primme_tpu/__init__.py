@@ -13,7 +13,8 @@ from .params import (PrimmeParams, Target, Projection, InitBasisMode,
                      resolve_defaults, set_member, get_member, member_info,
                      member_names, display_params)
 from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
-                        ELLOperator, BlockELLOperator, BandedOperator, Stencil3DOperator,
+                        ELLOperator, BlockELLOperator, WindowedELLOperator,
+                        BandedOperator, Stencil3DOperator,
                         FunctionOperator, JacobiPrecond, ChebyshevPrecond,
                         aslinearoperator,
                         apply_precond)
@@ -30,6 +31,7 @@ __all__ = [
     "get_member", "member_info", "member_names", "display_params",
     "LinearOperator", "DenseOperator", "DiagonalOperator", "ELLOperator",
     "BlockELLOperator",
+    "WindowedELLOperator",
     "BandedOperator",
     "Stencil3DOperator", "FunctionOperator", "JacobiPrecond",
     "ChebyshevPrecond",
