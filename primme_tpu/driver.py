@@ -1,0 +1,98 @@
+"""Config-file driver CLI: run a reference-format test config end to end.
+
+TPU-native analogue of the reference's test drivers (``tests/driver.c``
+for eigenproblems and ``tests/driversvds.c`` for singular values): parse
+one of its config files (``tests/tests/test_???``), build the operator
+from the named MatrixMarket file, solve, print the solution in the
+reference driver's report style, verify against the stored golden
+solution (``driver.checkXFile`` + ``check_solution``,
+``tests/COMMON/ioandtest.c:70``), and optionally save the computed
+vectors in the reference's binary golden format (``driver.saveXFile``,
+``tests/driver.c:280``) so the golden corpus can be regenerated or
+extended from this framework.
+
+Usage::
+
+    python -m primme_tpu.driver CONFIG [--base-dir DIR] [--complex]
+                                       [--save-x FILE]
+                                       [--mv-slack F] [--eps-slack F]
+
+Exit status 0 when all solution checks pass, 1 otherwise — so the module
+can stand in for the reference's ``make test`` runner in scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _is_svds_config(path: str) -> bool:
+    """SVD configs (test_2??) set ``primme_svds.*`` fields or an
+    ``primme_svds_*`` method (``tests/driversvds.c`` reads the same
+    key=value format with the svds prefix)."""
+    for line in open(path):
+        ln = line.split("//")[0].strip()
+        if ln.startswith("primme_svds.") or (
+                ln.startswith("method") and "primme_svds_" in ln):
+            return True
+    return False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m primme_tpu.driver",
+        description="Run a reference-format test config (tests/driver.c "
+                    "analogue).")
+    ap.add_argument("config", help="path to a test_??? config file")
+    ap.add_argument("--base-dir", default=None,
+                    help="directory the config's matrixFile/checkXFile "
+                         "paths are relative to (default: CONFIG/..)")
+    ap.add_argument("--complex", action="store_true", dest="as_complex",
+                    help="run the doublecomplex variant (the reference "
+                         "runs every test_0?? both ways, tests/Makefile:98)")
+    ap.add_argument("--save-x", default=None,
+                    help="write the computed vectors in the reference's "
+                         "binary golden format (overrides driver.saveXFile)")
+    ap.add_argument("--mv-slack", type=float, default=2.0)
+    ap.add_argument("--eps-slack", type=float, default=5.0)
+    args = ap.parse_args(argv)
+
+    from .testharness import run_config, run_svds_config, parse_config
+
+    cfg = parse_config(args.config)
+    print(f"driver.matrixFile  = {cfg.matrix_file}")
+    print(f"driver.checkXFile  = {cfg.check_x_file}")
+    print(f"driver.PrecChoice  = {cfg.prec_choice}")
+    dtype = complex if args.as_complex else None
+
+    t0 = time.time()
+    if _is_svds_config(args.config):
+        r = run_svds_config(args.config, base_dir=args.base_dir,
+                            eps_slack=args.eps_slack, dtype=dtype,
+                            save_x_file=args.save_x)
+        label = "Sval"
+    else:
+        r = run_config(args.config, base_dir=args.base_dir,
+                       mv_slack=args.mv_slack, eps_slack=args.eps_slack,
+                       dtype=dtype, save_x_file=args.save_x)
+        label = "Eval"
+    wall = time.time() - t0
+
+    # reference driver report style (driver.c primme display + ioandtest)
+    if r.evals is not None:
+        for i, (ev, rn) in enumerate(zip(r.evals, r.rnorms)):
+            print(f"{label}[{i + 1}]: {ev:-22.15E} rnorm: {rn:-22.15E}")
+    mv = getattr(r.stats, "num_matvecs", None) if r.stats is not None else None
+    nmv = int(mv) if mv is not None else 0
+    print(f"Tests: 1 Matvecs: {nmv} Time: {wall:.3f} s")
+    if r.ok:
+        print("solution check: OK")
+        return 0
+    print(f"solution check FAILED: {r!r}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

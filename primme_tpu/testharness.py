@@ -45,6 +45,7 @@ _PROJ_MAP = {
 class TestConfig:
     matrix_file: str = ""
     check_x_file: str = ""
+    save_x_file: str = ""
     prec_choice: str = "noprecond"
     shift: float = 0.0
     method: Optional[Method] = None
@@ -65,6 +66,8 @@ def parse_config(path: str) -> TestConfig:
             cfg.matrix_file = v
         elif k == "driver.checkXFile":
             cfg.check_x_file = v
+        elif k == "driver.saveXFile":
+            cfg.save_x_file = v
         elif k == "driver.PrecChoice":
             cfg.prec_choice = v
         elif k == "driver.shift":
@@ -95,6 +98,53 @@ def read_sol_evecs(path: str) -> np.ndarray:
     n, cols = int(hdr[1].real), int(hdr[2].real)
     X = np.frombuffer(raw[3 * ss: (3 + n * cols) * ss], dtype=dt)
     return X.reshape(cols, n).T.copy()
+
+
+def write_sol_evecs(path: str, X: np.ndarray) -> None:
+    """Write eigenvectors in the reference's golden-solution binary format
+    (``writeBinaryEvecsAndPrimmeParams``, ``tests/COMMON/ioandtest.c:210``):
+    header [signed sizeof(SCALAR), n, cols] then column-major n x cols.
+    The marker scalar is ``+sizeof`` for real, ``-sizeof`` for complex (the
+    reference's ``2*Re(i*i)+1`` trick). The trailing raw ``primme_params``
+    struct blob the reference appends is for its own driver's reuse and is
+    not read back by any solution check; it is omitted here.
+
+    Files written this way are readable both by :func:`read_sol_evecs` and
+    by the reference's ``readBinaryEvecsAndPrimmeParams``
+    (``ioandtest.c:159``), which only consumes the header + vectors.
+    """
+    X = np.asarray(X)
+    if np.iscomplexobj(X):
+        dt, marker = np.dtype("<c16"), -16.0
+        X = X.astype(np.complex128)
+    else:
+        dt, marker = np.dtype("<f8"), 8.0
+        X = X.astype(np.float64)
+    n, cols = X.shape
+    with open(path, "wb") as f:
+        np.array([marker, n, cols], dtype=dt).tofile(f)
+        X.T.astype(dt).tofile(f)        # column-major payload
+
+
+def write_sol_svecs(path: str, U: np.ndarray, V: np.ndarray) -> None:
+    """Write singular vectors in the reference's golden format
+    (``writeBinaryEvecsAndPrimmeSvdsParams``,
+    ``tests/COMMON/ioandtest.c:412``): header [signed sizeof, m, n, cols]
+    then U (m x cols) and V (n x cols), column-major."""
+    U, V = np.asarray(U), np.asarray(V)
+    if np.iscomplexobj(U) or np.iscomplexobj(V):
+        dt, marker = np.dtype("<c16"), -16.0
+        U, V = U.astype(np.complex128), V.astype(np.complex128)
+    else:
+        dt, marker = np.dtype("<f8"), 8.0
+        U, V = U.astype(np.float64), V.astype(np.float64)
+    (m, cols), (n, colsV) = U.shape, V.shape
+    if cols != colsV:
+        raise ValueError(f"U has {cols} columns but V has {colsV}")
+    with open(path, "wb") as f:
+        np.array([marker, m, n, cols], dtype=dt).tofile(f)
+        U.T.astype(dt).tofile(f)
+        V.T.astype(dt).tofile(f)
 
 
 def build_params(cfg: TestConfig, n: int) -> PrimmeParams:
@@ -138,6 +188,10 @@ class CheckResult:
     def __init__(self):
         self.ok = True
         self.messages = []
+        # solution captured for the CLI driver (primme_tpu.driver)
+        self.evals = None        # eigen- or singular values
+        self.rnorms = None       # recomputed residual norms
+        self.stats = None        # solver Stats (eigs configs)
 
     def check(self, cond, msg):
         if not cond:
@@ -149,7 +203,8 @@ class CheckResult:
 
 
 def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
-               eps_slack: float = 5.0, dtype=None) -> CheckResult:
+               eps_slack: float = 5.0, dtype=None,
+               save_x_file: str = None) -> CheckResult:
     """Run one golden-file config and check the solution
     (``check_solution``, ``tests/COMMON/ioandtest.c:70-135``).
 
@@ -157,6 +212,11 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
     reference suite runs every ``test_0??`` twice
     (``tests/Makefile:98-101``) — the matrix is cast and the complex
     code path is exercised against the ``sol_???_doublecomplex`` golden.
+
+    ``save_x_file``: write the computed eigenvectors in the reference's
+    golden binary format (``driver.saveXFile``, ``tests/driver.c:280``);
+    defaults to the config's own ``driver.saveXFile`` if set (resolved
+    relative to the current directory, never inside ``base_dir``).
     """
     import scipy.io as sio
     import scipy.sparse as sp
@@ -208,7 +268,12 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
     evecs = np.asarray(res.evecs)
     k = p.num_evals
 
+    save = save_x_file or cfg.save_x_file
+    if save:
+        write_sol_evecs(save, evecs)
+
     out = CheckResult()
+    out.evals, out.stats = evals, res.stats
     meps = np.finfo(np.float64).eps
     anorm = max(float(np.abs(evals).max()),
                 float(res.stats.anorm_estimate), 1e-300)
@@ -222,6 +287,7 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
     # 2. residual norms <= eps * |A| (with slack; ioandtest.c:108)
     R = A @ evecs - evecs * evals[None, :]
     rn = np.linalg.norm(R, axis=0)
+    out.rnorms = rn
     out.check(rn.max() <= eps_slack * eps * anorm * np.sqrt(k),
               f"residuals {rn.max():.2e} > {eps_slack * eps * anorm:.2e}")
 
@@ -286,10 +352,13 @@ def read_sol_svecs(path: str):
 
 
 def run_svds_config(path: str, base_dir: str = None,
-                    eps_slack: float = 5.0, dtype=None) -> CheckResult:
+                    eps_slack: float = 5.0, dtype=None,
+                    save_x_file: str = None) -> CheckResult:
     """Run one SVD golden-file config (test_2??; driver
     ``tests/driversvds.c``). ``dtype=complex`` runs the doublecomplex
-    variant (``tests/Makefile:98-101``)."""
+    variant (``tests/Makefile:98-101``). ``save_x_file`` writes the
+    computed triplets in the reference's golden binary format
+    (``driver.saveXFile``, ``driversvds.c``)."""
     import scipy.io as sio
     import scipy.sparse as sp
     from .svds import svds as svds_fn
@@ -330,7 +399,11 @@ def run_svds_config(path: str, base_dir: str = None,
     # configs (measured: 136k matvecs on test_203, 162k on test_204)
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
                            maxiter=250000, **prec)
+    save = save_x_file or cfg.save_x_file
+    if save:
+        write_sol_svecs(save, U, Vt.conj().T)
     out = CheckResult()
+    out.evals = svals
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     anorm = sref[0]
 
@@ -339,6 +412,7 @@ def run_svds_config(path: str, base_dir: str = None,
     R2 = A.conj().T @ U - Vt.conj().T * svals[None, :]
     rn = np.sqrt(np.linalg.norm(R1, axis=0) ** 2
                  + np.linalg.norm(R2, axis=0) ** 2)
+    out.rnorms = rn
     out.check(rn.max() <= eps_slack * eps * anorm * np.sqrt(k),
               f"residuals {rn.max():.2e}")
 
