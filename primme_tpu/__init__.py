@@ -21,6 +21,7 @@ from .operators import (LinearOperator, DenseOperator, DiagonalOperator,
 from .core.solver import solve_eigs, EigsResult, Stats
 from .api import eigsh, eigs, PrimmeError
 from .svds import svds
+from .refine import refine_eigsh
 from . import io, native, profiling, testharness
 
 __version__ = "0.1.0"
