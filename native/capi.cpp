@@ -1,0 +1,187 @@
+// C / Fortran-callable API over the primme_tpu framework.
+//
+// The reference is a C library first (dprimme / dprimme_svds,
+// include/primme_eigs.h:382-477; F77 shim src/eigs/primme_f77.c).
+// This shim gives native codes the same capability over the TPU
+// framework: it embeds CPython once per process and forwards into
+// primme_tpu.capi_support, which runs the JAX solver. Two operator
+// modes, mirroring the reference's test-driver CSR path
+// (tests/COMMON/csr.c) and its user-matvec contract
+// (primme_params.matrixMatvec, include/primme_eigs.h:170):
+//
+//   ptpu_eigsh_csr     — CSR matrix by pointer, eigenpairs out
+//   ptpu_eigsh_matvec  — user matvec callback (column-major blocks)
+//   ptpu_svds_csr      — singular triplets of a rectangular CSR
+//
+// F77 bindings (trailing-underscore, all-pointer args, integer target
+// codes — the primme_target order) are provided for each. Every call
+// returns 0 on success; on failure ptpu_last_error() has the message.
+//
+// Build: make -C native libprimme_tpu_capi.so
+// Link:  -lprimme_tpu_capi -lpython3.X  (set PYTHONPATH to the repo).
+
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+PyObject *g_mod = nullptr;         // primme_tpu.capi_support
+std::string g_err;                 // last error from this layer
+
+// Initialize the interpreter once; afterwards every entry point
+// takes/releases the GIL around its single Python call.
+int ensure_init() {
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+    PyEval_SaveThread();  // release the GIL the init left held
+  }
+  PyGILState_STATE g = PyGILState_Ensure();
+  if (g_mod == nullptr) {
+    g_mod = PyImport_ImportModule("primme_tpu.capi_support");
+    if (g_mod == nullptr) {
+      PyObject *et, *ev, *tb;
+      PyErr_Fetch(&et, &ev, &tb);
+      PyObject *s = ev ? PyObject_Str(ev) : nullptr;
+      g_err = "import primme_tpu.capi_support failed";
+      if (s) {
+        g_err += ": ";
+        g_err += PyUnicode_AsUTF8(s);
+      }
+      Py_XDECREF(s);
+      Py_XDECREF(et);
+      Py_XDECREF(ev);
+      Py_XDECREF(tb);
+    }
+  }
+  int rc = g_mod ? 0 : -100;
+  PyGILState_Release(g);
+  return rc;
+}
+
+// Call capi_support.<name>(*args) -> int return code; on Python-level
+// failure fetch capi_support.last_error() into g_err.
+int call_int(const char *name, PyObject *args) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *fn = PyObject_GetAttrString(g_mod, name);
+  PyObject *r = fn ? PyObject_CallObject(fn, args) : nullptr;
+  Py_XDECREF(fn);
+  Py_DECREF(args);
+  int rc = -101;
+  if (r && PyLong_Check(r)) rc = static_cast<int>(PyLong_AsLong(r));
+  if (!r) {
+    PyErr_Print();
+    g_err = "python call raised";
+  } else if (rc != 0) {
+    PyObject *le = PyObject_CallMethod(g_mod, "last_error", nullptr);
+    if (le) {
+      g_err = PyUnicode_AsUTF8(le);
+      Py_DECREF(le);
+    }
+  }
+  Py_XDECREF(r);
+  PyGILState_Release(g);
+  return rc;
+}
+
+inline long long addr(const void *p) {
+  return static_cast<long long>(reinterpret_cast<intptr_t>(p));
+}
+
+}  // namespace
+
+extern "C" {
+
+typedef void (*ptpu_matvec_f)(const double *x, double *y, int block_size,
+                              void *ctx);
+
+const char *ptpu_last_error(void) { return g_err.c_str(); }
+
+// --- eigsh, CSR operator -------------------------------------------------
+int ptpu_eigsh_csr(long long n, long long nnz, const long long *indptr,
+                   const long long *indices, const double *data, int k,
+                   const char *which, double tol, const char *method,
+                   double sigma, double *evals, double *evecs,
+                   double *resnorms) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue(
+      "(LLLLLisdsdLLL)", n, nnz, addr(indptr), addr(indices), addr(data), k,
+      which ? which : "SA", tol, method ? method : "", sigma, addr(evals),
+      addr(evecs), addr(resnorms));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("eigsh_csr", args);
+}
+
+// --- eigsh, user matvec callback ------------------------------------------
+int ptpu_eigsh_matvec(long long n, ptpu_matvec_f matvec, void *ctx, int k,
+                      const char *which, double tol, const char *method,
+                      double sigma, long long max_matvecs, double *evals,
+                      double *evecs, double *resnorms) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue(
+      "(LLLisdsdLLLL)", n, addr(reinterpret_cast<void *>(matvec)), addr(ctx),
+      k, which ? which : "SA", tol, method ? method : "", sigma, max_matvecs,
+      addr(evals), addr(evecs), addr(resnorms));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("eigsh_matvec", args);
+}
+
+// --- svds, CSR operator ----------------------------------------------------
+int ptpu_svds_csr(long long m, long long n, long long nnz,
+                  const long long *indptr, const long long *indices,
+                  const double *data, int k, const char *which, double tol,
+                  double *svals, double *u, double *v) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue(
+      "(LLLLLLisdLLL)", m, n, nnz, addr(indptr), addr(indices), addr(data), k,
+      which ? which : "LM", tol, addr(svals), addr(u), addr(v));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_csr", args);
+}
+
+// --- F77 bindings ----------------------------------------------------------
+// All-pointer arguments; `target` uses the primme_target integer order
+// (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs, 4 closest_geq,
+// 5 closest_leq), like the reference's label-based F77 surface
+// (include/primme_eigs_f77.h). No hidden string-length arguments.
+
+void ptpu_eigsh_csr_(const long long *n, const long long *nnz,
+                     const long long *indptr, const long long *indices,
+                     const double *data, const int *k, const int *target,
+                     const double *tol, const double *sigma, double *evals,
+                     double *evecs, double *resnorms, int *ierr) {
+  static const char *codes[] = {"SA", "LA", "SM", "LM", "CGT", "CLT"};
+  const char *w = (*target >= 0 && *target <= 5) ? codes[*target] : "SA";
+  *ierr = ptpu_eigsh_csr(*n, *nnz, indptr, indices, data, *k, w, *tol, "",
+                         *sigma, evals, evecs, resnorms);
+}
+
+void ptpu_eigsh_matvec_(const long long *n, ptpu_matvec_f matvec, void *ctx,
+                        const int *k, const int *target, const double *tol,
+                        const double *sigma, const long long *max_matvecs,
+                        double *evals, double *evecs, double *resnorms,
+                        int *ierr) {
+  static const char *codes[] = {"SA", "LA", "SM", "LM", "CGT", "CLT"};
+  const char *w = (*target >= 0 && *target <= 5) ? codes[*target] : "SA";
+  *ierr = ptpu_eigsh_matvec(*n, matvec, ctx, *k, w, *tol, "", *sigma,
+                            *max_matvecs, evals, evecs, resnorms);
+}
+
+void ptpu_svds_csr_(const long long *m, const long long *n,
+                    const long long *nnz, const long long *indptr,
+                    const long long *indices, const double *data,
+                    const int *k, const int *largest, const double *tol,
+                    double *svals, double *u, double *v, int *ierr) {
+  *ierr = ptpu_svds_csr(*m, *n, *nnz, indptr, indices, data, *k,
+                        *largest ? "LM" : "SM", *tol, svals, u, v);
+}
+
+}  // extern "C"

@@ -1,0 +1,190 @@
+"""Support layer for the embedded-Python C/Fortran API (``native/capi.cpp``).
+
+The reference is a C library first — ``dprimme``/``dprimme_svds``
+(``include/primme_eigs.h:382-477``) plus an F77 shim
+(``src/eigs/primme_f77.c``) — so C and Fortran codes can call it
+directly. This framework's solver is Python/JAX; the native shim
+(``native/capi.cpp``) embeds CPython and forwards into this module,
+giving C/Fortran programs the same capability: hand over a CSR matrix
+(the test drivers' native format, ``tests/COMMON/csr.c``) or a matvec
+callback (the library's own ``matrixMatvec`` contract) and receive
+eigenpairs / singular triplets.
+
+All buffer arguments arrive as raw addresses (int); vectors are written
+back column-major (Fortran order), matching the reference's ``evecs``
+layout. Every function returns 0 on success, -1 on error with the
+message retrievable via :func:`last_error`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+# The C API is a double-precision surface (the ``dprimme`` analogue):
+# make f64 real before the first trace. Harmless if already set.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+_last_error = ""
+
+
+def last_error() -> str:
+    return _last_error
+
+
+def _set_error(e: BaseException) -> int:
+    global _last_error
+    _last_error = f"{type(e).__name__}: {e}"
+    return -1
+
+
+def _arr(addr: int, ctype, count: int) -> np.ndarray:
+    """View ``count`` elements of C type ``ctype`` at address ``addr``."""
+    return np.ctypeslib.as_array(ctypes.cast(int(addr),
+                                             ctypes.POINTER(ctype)),
+                                 shape=(int(count),))
+
+
+def _csr(n_rows: int, n_cols: int, nnz: int, indptr: int, indices: int,
+         data: int):
+    import scipy.sparse as sp
+    ip = _arr(indptr, ctypes.c_int64, n_rows + 1).copy()
+    ix = _arr(indices, ctypes.c_int64, nnz).copy()
+    dv = _arr(data, ctypes.c_double, nnz).copy()
+    return sp.csr_matrix((dv, ix.astype(np.int64), ip.astype(np.int64)),
+                         shape=(n_rows, n_cols))
+
+
+_WHICH_EIG = {0: "SA", 1: "LA", 2: "SM", 3: "LM", 4: "CGT", 5: "CLT"}
+
+
+def _which_str(which) -> str:
+    """Accept a string or the F77 shim's integer code
+    (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs,
+    4 closest_geq, 5 closest_leq — the ``primme_target`` order)."""
+    if isinstance(which, (int, np.integer)):
+        return _WHICH_EIG[int(which)]
+    return str(which)
+
+
+def eigsh_csr(n: int, nnz: int, indptr: int, indices: int, data: int,
+              k: int, which, tol: float, method: str, sigma: float,
+              evals: int, evecs: int, resnorms: int) -> int:
+    """Solve the Hermitian eigenproblem for a CSR matrix passed by
+    address; write evals [k], evecs [n*k] column-major, resnorms [k]."""
+    try:
+        from . import eigsh
+
+        A = _csr(n, n, nnz, indptr, indices, data)
+        kw = {}
+        if method:
+            kw["method"] = method
+        w = _which_str(which)
+        if w in ("SM", "CGT", "CLT"):
+            kw["sigma"] = float(sigma)
+        ev, X = eigsh(A, k=k, which=w, tol=float(tol),
+                      raise_for_unconverged=False, **kw)
+        R = A @ X - X * ev[None, :]
+        _arr(evals, ctypes.c_double, k)[:] = ev
+        _arr(evecs, ctypes.c_double, n * k)[:] = np.asarray(
+            X, np.float64).reshape(-1, order="F")
+        _arr(resnorms, ctypes.c_double, k)[:] = np.linalg.norm(R, axis=0)
+        return 0
+    except Exception as e:  # noqa: BLE001 — boundary: report via last_error
+        return _set_error(e)
+
+
+# void matvec(const double *x, double *y, int blockSize, void *ctx)
+# x, y: [n, blockSize] column-major — the reference's matrixMatvec
+# contract (include/primme_eigs.h:170) restricted to f64/ld=n.
+_MATVEC_T = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_double),
+                             ctypes.POINTER(ctypes.c_double),
+                             ctypes.c_int, ctypes.c_void_p)
+
+
+def _callback_operator(n: int, fnaddr: int, ctx: int):
+    """Build an operator around a C matvec function pointer. Each
+    application leaves the device via ``jax.pure_callback`` — the same
+    host boundary the reference crosses for every user matvec."""
+    import jax
+    import jax.numpy as jnp
+    from .operators import FunctionOperator
+
+    fn = _MATVEC_T(int(fnaddr))
+    ctxp = ctypes.c_void_p(int(ctx) or None)
+
+    def _host(Xh: np.ndarray) -> np.ndarray:
+        Xf = np.asfortranarray(np.asarray(Xh, np.float64))
+        Y = np.zeros_like(Xf, order="F")
+        fn(Xf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+           Y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+           int(Xf.shape[1]), ctxp)
+        return Y
+
+    def matmat(X):
+        return jax.pure_callback(
+            _host, jax.ShapeDtypeStruct(X.shape, X.dtype), X,
+            vmap_method="sequential")
+
+    return FunctionOperator(matmat, (n, n), jnp.float64)
+
+
+def eigsh_matvec(n: int, fnaddr: int, ctx: int, k: int, which,
+                 tol: float, method: str, sigma: float, maxiter: int,
+                 evals: int, evecs: int, resnorms: int) -> int:
+    """Solve with a user C matvec callback (``matrixMatvec`` contract)."""
+    try:
+        from . import eigsh
+
+        A = _callback_operator(n, fnaddr, ctx)
+        kw = {}
+        if method:
+            kw["method"] = method
+        if maxiter > 0:
+            kw["maxMatvecs"] = int(maxiter)
+        w = _which_str(which)
+        if w in ("SM", "CGT", "CLT"):
+            kw["sigma"] = float(sigma)
+        ev, X, st = eigsh(A, k=k, which=w, tol=float(tol),
+                          return_stats=True, raise_for_unconverged=False,
+                          **kw)
+        X = np.asarray(X, np.float64)
+        # true residuals through the user's own matvec
+        AX = np.zeros_like(X, order="F")
+        _MATVEC_T(int(fnaddr))(
+            np.asfortranarray(X).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            AX.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            int(X.shape[1]), ctypes.c_void_p(int(ctx) or None))
+        R = AX - X * ev[None, :]
+        _arr(evals, ctypes.c_double, k)[:] = ev
+        _arr(evecs, ctypes.c_double, n * k)[:] = X.reshape(-1, order="F")
+        _arr(resnorms, ctypes.c_double, k)[:] = np.linalg.norm(R, axis=0)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def svds_csr(m: int, n: int, nnz: int, indptr: int, indices: int,
+             data: int, k: int, which, tol: float,
+             svals: int, u: int, v: int) -> int:
+    """Singular triplets of a CSR matrix; writes svals [k],
+    U [m*k] and V [n*k] column-major (``dprimme_svds`` analogue)."""
+    try:
+        from . import svds
+
+        A = _csr(m, n, nnz, indptr, indices, data)
+        w = which if isinstance(which, str) else (
+            "LM" if int(which) else "SM")
+        U, s, Vt = svds(A, k=k, tol=float(tol), which=w)
+        _arr(svals, ctypes.c_double, k)[:] = s
+        _arr(u, ctypes.c_double, m * k)[:] = np.asarray(
+            U, np.float64).reshape(-1, order="F")
+        _arr(v, ctypes.c_double, n * k)[:] = np.asarray(
+            Vt.T, np.float64).reshape(-1, order="F")
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)

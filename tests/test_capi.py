@@ -1,0 +1,36 @@
+"""C/Fortran API (native/capi.cpp): build the shim + C smoke test and run
+it in a subprocess. The C program exercises all entry modes — CSR,
+user-matvec callback, the F77 underscore binding, and svds — against the
+analytic Laplacian spectrum (the native analogue of
+``examples/ex_eigs_dseq.c``)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+
+
+@pytest.mark.skipif(shutil.which("g++") is None or shutil.which("make")
+                    is None, reason="native toolchain not present")
+def test_capi_end_to_end():
+    import sysconfig
+    if not os.path.exists(os.path.join(sysconfig.get_paths()["include"],
+                                       "Python.h")):
+        pytest.skip("CPython headers not present")
+    r = subprocess.run(["make", "-C", NATIVE, "libprimme_tpu_capi.so",
+                        "test_capi"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               JAX_PLATFORMS="cpu")
+    # the embedded interpreter must not inherit a TPU platform pin
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([os.path.join(NATIVE, "test_capi")], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CAPI OK" in r.stdout
