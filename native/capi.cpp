@@ -24,41 +24,60 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 
 namespace {
 
 PyObject *g_mod = nullptr;         // primme_tpu.capi_support
 std::string g_err;                 // last error from this layer
+std::once_flag g_init_once;        // first-call interpreter init guard
 
-// Initialize the interpreter once; afterwards every entry point
-// takes/releases the GIL around its single Python call.
-int ensure_init() {
-  if (!Py_IsInitialized()) {
-    Py_InitializeEx(0);
-    PyEval_SaveThread();  // release the GIL the init left held
-  }
-  PyGILState_STATE g = PyGILState_Ensure();
-  if (g_mod == nullptr) {
-    g_mod = PyImport_ImportModule("primme_tpu.capi_support");
-    if (g_mod == nullptr) {
-      PyObject *et, *ev, *tb;
-      PyErr_Fetch(&et, &ev, &tb);
-      PyObject *s = ev ? PyObject_Str(ev) : nullptr;
-      g_err = "import primme_tpu.capi_support failed";
-      if (s) {
-        g_err += ": ";
-        g_err += PyUnicode_AsUTF8(s);
-      }
-      Py_XDECREF(s);
-      Py_XDECREF(et);
-      Py_XDECREF(ev);
-      Py_XDECREF(tb);
+// Append str(obj) to out, tolerating non-UTF8 / NULL results
+// (PyUnicode_AsUTF8 can return NULL; never feed that to std::string).
+void append_pystr(std::string *out, PyObject *obj) {
+  if (!obj) return;
+  PyObject *s = PyObject_Str(obj);
+  if (s) {
+    const char *c = PyUnicode_AsUTF8(s);
+    if (c) {
+      *out += ": ";
+      *out += c;
     }
+    Py_DECREF(s);
   }
-  int rc = g_mod ? 0 : -100;
-  PyGILState_Release(g);
-  return rc;
+  PyErr_Clear();
+}
+
+// Format the pending Python exception into g_err (never prints, never
+// re-raises SystemExit the way PyErr_Print would).
+void fetch_pyerr(const char *prefix) {
+  PyObject *et, *ev, *tb;
+  PyErr_Fetch(&et, &ev, &tb);
+  g_err = prefix;
+  append_pystr(&g_err, ev);
+  Py_XDECREF(et);
+  Py_XDECREF(ev);
+  Py_XDECREF(tb);
+}
+
+// Initialize the interpreter once (thread-safe: concurrent first calls
+// from native threads, e.g. OpenMP codes, race on Py_IsInitialized
+// without the once_flag); afterwards every entry point takes/releases
+// the GIL around its single Python call.
+int ensure_init() {
+  std::call_once(g_init_once, [] {
+    if (!Py_IsInitialized()) {
+      Py_InitializeEx(0);
+      PyEval_SaveThread();  // release the GIL the init left held
+    }
+    PyGILState_STATE g = PyGILState_Ensure();
+    g_mod = PyImport_ImportModule("primme_tpu.capi_support");
+    if (g_mod == nullptr)
+      fetch_pyerr("import primme_tpu.capi_support failed");
+    PyGILState_Release(g);
+  });
+  return g_mod ? 0 : -100;
 }
 
 // Call capi_support.<name>(*args) -> int return code; on Python-level
@@ -72,14 +91,15 @@ int call_int(const char *name, PyObject *args) {
   int rc = -101;
   if (r && PyLong_Check(r)) rc = static_cast<int>(PyLong_AsLong(r));
   if (!r) {
-    PyErr_Print();
-    g_err = "python call raised";
+    fetch_pyerr("python call raised");
   } else if (rc != 0) {
     PyObject *le = PyObject_CallMethod(g_mod, "last_error", nullptr);
     if (le) {
-      g_err = PyUnicode_AsUTF8(le);
+      const char *c = PyUnicode_AsUTF8(le);
+      g_err = c ? c : "(unrepresentable error)";
       Py_DECREF(le);
     }
+    PyErr_Clear();
   }
   Py_XDECREF(r);
   PyGILState_Release(g);

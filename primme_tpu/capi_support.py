@@ -19,6 +19,7 @@ message retrievable via :func:`last_error`.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -27,6 +28,15 @@ import numpy as np
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Pin the platform authoritatively: TPU plugins (axon) override the
+# JAX_PLATFORMS environment variable, so the env var the embedding C
+# program sets cannot be trusted — only the config update is (the same
+# failure mode tests/conftest.py documents). Default cpu: this surface
+# is f64 (TPU f64 matmuls are only ~5e-6 accurate) and the matvec
+# callback mode needs host callbacks, which TPU backends may not
+# support. Override with PTPU_PLATFORM=tpu for CSR workloads that want
+# the accelerator.
+jax.config.update("jax_platforms", os.environ.get("PTPU_PLATFORM", "cpu"))
 
 _last_error = ""
 
@@ -112,6 +122,16 @@ def _callback_operator(n: int, fnaddr: int, ctx: int):
     import jax
     import jax.numpy as jnp
     from .operators import FunctionOperator
+
+    if jax.default_backend() not in ("cpu",):
+        # pure_callback needs host send/recv, which accelerator backends
+        # (axon TPU) may not implement — fail with a clear message
+        # instead of an opaque UNIMPLEMENTED from the runtime.
+        raise RuntimeError(
+            f"the matvec-callback mode requires host callbacks, "
+            f"unsupported on the '{jax.default_backend()}' backend; "
+            f"run with PTPU_PLATFORM=cpu (default) or use the CSR entry "
+            f"points")
 
     fn = _MATVEC_T(int(fnaddr))
     ctxp = ctypes.c_void_p(int(ctx) or None)

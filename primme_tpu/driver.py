@@ -24,6 +24,7 @@ can stand in for the reference's ``make test`` runner in scripts.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -59,25 +60,46 @@ def main(argv=None) -> int:
     ap.add_argument("--eps-slack", type=float, default=5.0)
     args = ap.parse_args(argv)
 
+    # The golden configs are double-precision solves checked at eps down
+    # to 1e-12 (tests/tests/test_001): enable x64 and pin the platform
+    # BEFORE the solver traces anything. The config update is the only
+    # authoritative pin — TPU plugins (axon) override the JAX_PLATFORMS
+    # env var, so without this the f64 solve silently runs f32-on-TPU.
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms",
+                      os.environ.get("PTPU_PLATFORM", "cpu"))
+
     from .testharness import run_config, run_svds_config, parse_config
 
-    cfg = parse_config(args.config)
+    try:
+        cfg = parse_config(args.config)
+    except OSError as e:
+        print(f"driver error: {e}", file=sys.stderr)
+        return 1
     print(f"driver.matrixFile  = {cfg.matrix_file}")
     print(f"driver.checkXFile  = {cfg.check_x_file}")
     print(f"driver.PrecChoice  = {cfg.prec_choice}")
     dtype = complex if args.as_complex else None
 
     t0 = time.time()
-    if _is_svds_config(args.config):
-        r = run_svds_config(args.config, base_dir=args.base_dir,
-                            eps_slack=args.eps_slack, dtype=dtype,
-                            save_x_file=args.save_x)
-        label = "Sval"
-    else:
-        r = run_config(args.config, base_dir=args.base_dir,
-                       mv_slack=args.mv_slack, eps_slack=args.eps_slack,
-                       dtype=dtype, save_x_file=args.save_x)
-        label = "Eval"
+    # errors (missing matrix file, bad config key, solver failure) exit
+    # with status 1 and a message, like the reference driver — scripted
+    # make-test-style use must see a clean failure, not a traceback
+    try:
+        if _is_svds_config(args.config):
+            r = run_svds_config(args.config, base_dir=args.base_dir,
+                                eps_slack=args.eps_slack, dtype=dtype,
+                                save_x_file=args.save_x)
+            label = "Sval"
+        else:
+            r = run_config(args.config, base_dir=args.base_dir,
+                           mv_slack=args.mv_slack, eps_slack=args.eps_slack,
+                           dtype=dtype, save_x_file=args.save_x)
+            label = "Eval"
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(f"driver error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
     wall = time.time() - t0
 
     # reference driver report style (driver.c primme display + ioandtest)

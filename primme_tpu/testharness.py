@@ -215,8 +215,9 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
 
     ``save_x_file``: write the computed eigenvectors in the reference's
     golden binary format (``driver.saveXFile``, ``tests/driver.c:280``);
-    defaults to the config's own ``driver.saveXFile`` if set (resolved
-    relative to the current directory, never inside ``base_dir``).
+    defaults to the config's own ``driver.saveXFile`` if set, resolved
+    against ``base_dir`` like every other ``driver.*`` path (an explicit
+    ``save_x_file`` argument is used verbatim).
     """
     import scipy.io as sio
     import scipy.sparse as sp
@@ -268,7 +269,8 @@ def run_config(path: str, base_dir: str = None, mv_slack: float = 2.0,
     evecs = np.asarray(res.evecs)
     k = p.num_evals
 
-    save = save_x_file or cfg.save_x_file
+    save = save_x_file or (
+        os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
         write_sol_evecs(save, evecs)
 
@@ -399,7 +401,8 @@ def run_svds_config(path: str, base_dir: str = None,
     # configs (measured: 136k matvecs on test_203, 162k on test_204)
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
                            maxiter=250000, **prec)
-    save = save_x_file or cfg.save_x_file
+    save = save_x_file or (
+        os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
         write_sol_svecs(save, U, Vt.conj().T)
     out = CheckResult()
