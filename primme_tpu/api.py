@@ -273,6 +273,17 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     if unconv > 0 and raise_for_unconverged:
         raise PrimmeError(
             f"{unconv}/{k} pairs unconverged (resnorms={resnorms})")
+    if int(res.stats.probe_exhausted) and raise_for_unconverged:
+        # the probe round budget ran out before the returned set could be
+        # verified complete — honest failure, not silent success (pass
+        # verify_spectrum=0 to run unverified like the reference, or a
+        # larger verify_spectrum round budget)
+        raise PrimmeError(
+            f"spectrum verification exhausted its round budget "
+            f"({int(res.stats.num_probe_rounds)} rounds) before confirming "
+            f"the returned set is complete; the pairs converge but may "
+            f"miss degenerate-cluster members. Increase verify_spectrum "
+            f"or pass verify_spectrum=0 to skip verification.")
 
     stats = {k_: np.asarray(v).item()
              for k_, v in res.stats._asdict().items()}

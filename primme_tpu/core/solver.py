@@ -95,6 +95,12 @@ class Stats(NamedTuple):
     est_max_eval: jax.Array          # estimateMaxEVal
     num_practical: jax.Array         # lockingIssue (weak-criterion accepts)
     num_probe_rounds: jax.Array      # spectrum-verification probe rounds run
+    # 1 when the probe round budget ran out before two consecutive clean
+    # rounds — the returned set is UNVERIFIED (the solver gave up probing,
+    # it did not prove completeness); cleared if a later clean
+    # verification latches. Surfaced so "verified" is never silently
+    # conflated with "stopped checking".
+    probe_exhausted: jax.Array
 
     @staticmethod
     def zeros(rdt):
@@ -102,7 +108,7 @@ class Stats(NamedTuple):
         zr = jnp.zeros((), rdt)
         big = jnp.asarray(jnp.finfo(rdt).max, rdt)
         return Stats(z, z, z, z, z, z, z, z, zr, zr, zr,
-                     z, zr, zr, zr, big, -big, z, z)
+                     z, zr, zr, zr, big, -big, z, z, z)
 
 
 class ProbeResult(NamedTuple):
@@ -1523,11 +1529,17 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
             rounds = s.stats.num_probe_rounds
             want = done_cand & ~verified
             cap_hit = want & (rounds >= cfg.max_probe_rounds)
+            # the cap still latches `verified` so the loop can terminate,
+            # but the exhaustion is RECORDED — the result is flagged
+            # unverified-by-exhaustion, never silently "ok"
             verified = verified | cap_hit
             do_probe = (want & ~cap_hit
                         & (s.b + cfg.blk <= mmax)
                         & (s.stats.num_matvecs < cfg.max_matvecs))
-            s = s._replace(verified=verified, probe_clean=clean)
+            s = s._replace(verified=verified, probe_clean=clean,
+                           stats=s.stats._replace(probe_exhausted=_i32(
+                               jnp.where(cap_hit, 1,
+                                         s.stats.probe_exhausted))))
 
             def run_probe(s):
                 key, kp = jax.random.split(s.key)
@@ -1542,9 +1554,14 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 # two consecutive clean rounds (independent injections)
                 # are required before the set counts as verified
                 clean2 = jnp.where(pr.found, 0, s.probe_clean + 1)
+                now_verified = (~pr.found) & (clean2 >= 2)
+                # a genuinely clean verification supersedes an earlier
+                # cap exhaustion (set reopened and then verified)
+                stats = stats._replace(probe_exhausted=_i32(
+                    jnp.where(now_verified, 0, stats.probe_exhausted)))
                 s = s._replace(stats=stats, probe_clean=clean2,
                                probe_ref=newkth,
-                               verified=(~pr.found) & (clean2 >= 2))
+                               verified=now_verified)
                 return jax.lax.cond(
                     pr.found,
                     lambda s: _append_probe_block(cfg, A, B, s, pr.X),
