@@ -71,8 +71,26 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         if _sp.issparse(A):
             rb = None
             if M is None:
-                from .operators import rcm_banded
-                rb = rcm_banded(A)
+                if mesh is not None and mesh.devices.size > 1:
+                    # Under a mesh the global-gather formats (ELL/
+                    # BlockELL/WindowedELL) would make GSPMD all-gather
+                    # the [n, k] block every matvec. Keep the pure
+                    # shift-based banded layout (its pad/slice shifts
+                    # lower to neighbor exchanges) and otherwise use the
+                    # halo-exchange row partition — the reference's
+                    # O(halo) nLocal contract (include/primme_eigs.h:
+                    # 188-198, tests/COMMON/petscw.c).
+                    from .operators import rcm_banded, BandedOperator
+                    cand = rcm_banded(A)
+                    if cand is not None and isinstance(cand[0],
+                                                       BandedOperator):
+                        rb = cand
+                    else:
+                        from .distributed import HaloELLOperator
+                        rb = HaloELLOperator.from_scipy(A, mesh)
+                else:
+                    from .operators import rcm_banded
+                    rb = rcm_banded(A)
             if rb is not None:
                 Aop, perm = rb
             else:

@@ -49,17 +49,43 @@ def _normal_op(A: LinearOperator, use_ata: bool) -> FunctionOperator:
                             (m, m), A.dtype)
 
 
-def _aug_op(A: LinearOperator) -> FunctionOperator:
+def _aug_op(A: LinearOperator, pad_to: int = 1) -> FunctionOperator:
     """Augmented [[0, A^H], [A, 0]] acting on stacked [v; u]
     (v: n rows, u: m rows), as in ``matrixMatvec_eigs_Sprimme``
-    (``src/svds/primme_svds_c.c``)."""
+    (``src/svds/primme_svds_c.c``).
+
+    ``pad_to`` > 1 (the mesh shard count): each half is zero-padded to a
+    shard multiple so the [v; u] split is shard-ALIGNED — the reference
+    runs both stages under the same row distribution
+    (``primme_svds_c.c:219`` flow) and an unaligned slice at row ``n``
+    would make GSPMD reshard the whole block every matvec. The pad slots
+    are exact null directions of the operator (mapped to zero), joining
+    the ``|m - n|`` genuine null vectors the augmented operator has
+    anyway; the closest_geq floor shift keeps both sorted out of SM
+    solves."""
     m, n = A.shape
+    n_p = -(-n // pad_to) * pad_to
+    m_p = -(-m // pad_to) * pad_to
 
     def f(X):
-        V, U = X[:n], X[n:]
-        return jnp.concatenate([A.rmatmat(U), A.matmat(V)], axis=0)
+        V, U = X[:n_p][:n], X[n_p:][:m]
+        top, bot = A.rmatmat(U), A.matmat(V)
+        if n_p > n:
+            top = jnp.pad(top, ((0, n_p - n), (0, 0)))
+        if m_p > m:
+            bot = jnp.pad(bot, ((0, m_p - m), (0, 0)))
+        return jnp.concatenate([top, bot], axis=0)
 
-    return FunctionOperator(f, (m + n, m + n), A.dtype)
+    return FunctionOperator(f, (m_p + n_p, m_p + n_p), A.dtype)
+
+
+def _aug_stack(Vv, U, n_p: int, m_p: int):
+    """Stack [v; u]/sqrt(2) into the (padded) augmented coordinates."""
+    n, m = Vv.shape[0], U.shape[0]
+    sq2 = np.sqrt(2.0)
+    Vp = jnp.pad(Vv, ((0, n_p - n), (0, 0))) if n_p > n else Vv
+    Up = jnp.pad(U, ((0, m_p - m), (0, 0))) if m_p > m else U
+    return jnp.concatenate([Vp, Up], axis=0) / sq2
 
 
 def _true_resnorms(A, U, V, svals):
@@ -254,14 +280,21 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
 
         ne2 = int(len(rest_idx))
         if ne2 > 0:
-            Aug = _aug_op(Aop)
-            sq2 = np.sqrt(2.0)
+            nsh = int(mesh.devices.size) if mesh is not None else 1
+            Aug = _aug_op(Aop, pad_to=nsh)
+            n_p = -(-n // nsh) * nsh
+            m_p = -(-m // nsh) * nsh
             if svh is not None:
-                stack = jnp.concatenate([Vv, U], axis=0) / sq2
+                stack = _aug_stack(Vv, U, n_p, m_p)
                 oc = stack[:, conv_idx] if len(conv_idx) else None
                 g2 = stack[:, rest_idx]
             else:
                 oc, g2 = None, None
+            if shard is not None:
+                if oc is not None:
+                    oc = jax.device_put(oc, shard)
+                if g2 is not None:
+                    g2 = jax.device_put(g2, shard)
 
             if which == "LM":
                 tgt2, tsh2 = Target.largest, ()
@@ -304,7 +337,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 tgt2, tsh2 = Target.closest_abs, shifts
 
             p2 = PrimmeParams(
-                n=m + n, num_evals=ne2, target=tgt2, target_shifts=tsh2,
+                n=m_p + n_p, num_evals=ne2, target=tgt2, target_shifts=tsh2,
                 eps=eps, max_block_size=maxBlockSize,
                 num_ortho_const=(len(conv_idx) if oc is not None else 0),
                 a_norm=anorm2, rng_seed=seed + 1)
@@ -325,6 +358,22 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             if isinstance(meth2, str):
                 meth2 = Method[meth2.replace("PRIMME_", "")]
             K2 = aslinearoperator(precAug) if precAug is not None else None
+            if K2 is not None and (n_p > n or m_p > m):
+                # user preconditioner speaks (m+n); adapt to the padded
+                # augmented coordinates (pad slots map to themselves)
+                K2in = K2
+
+                def kf(X):
+                    Vh, Uh = X[:n_p][:n], X[n_p:][:m]
+                    Y = K2in.matmat(jnp.concatenate([Vh, Uh], axis=0))
+                    t, b = Y[:n], Y[n:]
+                    if n_p > n:
+                        t = jnp.pad(t, ((0, n_p - n), (0, 0)))
+                    if m_p > m:
+                        b = jnp.pad(b, ((0, m_p - m), (0, 0)))
+                    return jnp.concatenate([t, b], axis=0)
+
+                K2 = FunctionOperator(kf, (m_p + n_p, m_p + n_p), K2.dtype)
             p2 = set_method(meth2, p2, has_precond=K2 is not None)
 
             inner2 = None
@@ -345,12 +394,12 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
 
             r2 = solve_eigs(Aug, p2, K=K2, v0=g2, ortho_const=oc,
                             inner_solve=inner2, convtest=conv_stage2,
-                            segment_outer=segment_outer)
+                            shard=shard, segment_outer=segment_outer)
             merge_stats(r2.stats, "stage2")
 
             sv2 = jnp.abs(jnp.real(r2.evals))
-            V2 = r2.evecs[:n]
-            U2 = r2.evecs[n:]
+            V2 = r2.evecs[:n_p][:n]
+            U2 = r2.evecs[n_p:][:m]
             V2n = jnp.sqrt(jnp.sum(jnp.abs(V2) ** 2, axis=0))
             U2n = jnp.sqrt(jnp.sum(jnp.abs(U2) ** 2, axis=0))
             V2 = V2 / jnp.maximum(V2n, 1e-30)[None, :].astype(V2.dtype)

@@ -26,6 +26,31 @@ jax.config.update("jax_enable_x64", True)
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (golden configs, sweeps, "
+        "heavy solves); excluded from the quick tier "
+        "`pytest -m 'not slow'`")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-3 VERDICT #9): the quick tier
+    (``pytest -m "not slow"``) stays under ~3 minutes; the full suite
+    runs before every snapshot. Tier membership is data-driven —
+    ``tests/slow_tests.txt`` lists measured >=5 s node IDs (regenerate
+    with ``pytest --durations=0`` after large changes) — plus any
+    explicit ``@pytest.mark.slow`` / module ``pytestmark``."""
+    slow_file = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    slow_ids = set()
+    if os.path.exists(slow_file):
+        with open(slow_file) as f:
+            slow_ids = {ln.strip() for ln in f if ln.strip()}
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Long single-process runs accumulate compiled executables until the

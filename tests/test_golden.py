@@ -17,8 +17,9 @@ from primme_tpu.testharness import run_config, run_svds_config
 
 TESTS = "/root/reference/tests/tests"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(TESTS),
-                                reason="reference test configs not present")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(TESTS),
+                                 reason="reference test configs not present")]
 
 # ALL of the reference's own golden configs run by default; nothing is
 # gated behind an env var. test_0?? run in both double and doublecomplex.

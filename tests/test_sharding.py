@@ -51,3 +51,24 @@ def test_svds_stage1_sharded(mesh8):
     with mesh8:
         U, s, Vt = svds(A, k=3, which="LM", tol=1e-9, mesh=mesh8)
     assert np.abs(np.sort(s) - np.sort(sref)[-3:]).max() < 1e-7 * sref[0]
+
+
+def test_svds_two_stage_hybrid_sharded(mesh8):
+    """Both stages run under the SAME distribution (the reference's
+    contract, primme_svds_c.c:219): a hybrid SM solve whose augmented
+    stage-2 must thread the mesh, with m and n NOT shard multiples so
+    the [v; u] halves are pad-aligned. Matches the single-device run."""
+    rng = np.random.default_rng(6)
+    m, n, k = 250, 158, 3          # 250 % 8 != 0, 158 % 8 != 0
+    A = rng.normal(size=(m, n))
+    sref = np.sort(np.linalg.svd(A, compute_uv=False))
+    U1, s1, Vt1 = svds(A, k=k, which="SM", tol=1e-9)
+    with mesh8:
+        U, s, Vt = svds(A, k=k, which="SM", tol=1e-9, mesh=mesh8)
+    assert np.abs(np.sort(s) - sref[:k]).max() < 1e-7 * sref[-1]
+    assert np.abs(np.sort(s) - np.sort(s1)).max() < 1e-7 * sref[-1]
+    # triplet residuals in the ORIGINAL (unpadded) coordinates
+    R1 = A @ Vt.conj().T - U * s[None, :]
+    R2 = A.T @ U - Vt.conj().T * s[None, :]
+    rn = np.sqrt((R1 ** 2).sum(0) + (R2 ** 2).sum(0))
+    assert rn.max() < 1e-7 * sref[-1]

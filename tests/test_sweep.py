@@ -17,6 +17,8 @@ import jax
 
 from primme_tpu import eigsh, Method
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fixture():
