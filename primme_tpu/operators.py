@@ -825,49 +825,63 @@ class WindowedELLOperator(LinearOperator):
     (measured); applicability decided at pack time (the band window must
     fit VMEM), else ``from_scipy`` returns None and callers fall back.
 
-    Symmetric matrices only (``rmatmat`` aliases ``matmat``), f32 compute.
+    Symmetric matrices only (``rmatmat`` aliases ``matmat``). f32
+    compute; f64 runs as an f32x2 double-single stream with compensated
+    in-kernel accumulation (``pallas_windowed.matmat_ds`` — Mosaic has
+    no 64-bit vectors), accurate to ~1e-14 relative.
     """
 
-    def __init__(self, scal, offs, vals, meta):
+    def __init__(self, scal, offs, vals, meta, vals_lo=None):
         self.scal = jnp.asarray(scal, jnp.int32)
         self.offs = jnp.asarray(offs, jnp.int32)
         self.vals = jnp.asarray(vals, jnp.float32)
+        self.vals_lo = (None if vals_lo is None
+                        else jnp.asarray(vals_lo, jnp.float32))
         self.meta = tuple(int(x) for x in meta)   # nrb, S, npad, n, pad, WB
         n = self.meta[3]
         self.shape = (n, n)
-        self.dtype = jnp.dtype(jnp.float32)
+        self.dtype = jnp.dtype(jnp.float64 if vals_lo is not None
+                               else jnp.float32)
 
     def _leaves(self):
-        return (self.scal, self.offs, self.vals)
+        return (self.scal, self.offs, self.vals, self.vals_lo)
 
     def _aux(self):
         return self.meta
 
     def _init_from(self, leaves, aux):
-        self.scal, self.offs, self.vals = leaves
+        self.scal, self.offs, self.vals, self.vals_lo = leaves
         self.meta = aux
         n = aux[3]
         self.shape = (n, n)
-        self.dtype = jnp.dtype(jnp.float32)
+        self.dtype = jnp.dtype(jnp.float64 if self.vals_lo is not None
+                               else jnp.float32)
 
     @staticmethod
     def from_scipy(A):
         from .ops import pallas_windowed as PW
 
-        packed = PW.pack(A)
+        dt = (np.float64 if np.dtype(A.dtype) == np.dtype(np.float64)
+              else np.float32)
+        packed = PW.pack(A, dtype=dt)
         if packed is None:
             return None
         return WindowedELLOperator(
             packed.scal, packed.offs, packed.vals,
             (packed.nrb, packed.S, packed.npad, packed.n, packed.pad,
-             packed.WB))
+             packed.WB), vals_lo=packed.vals_lo)
 
     def matmat(self, X):
         from .ops import pallas_windowed as PW
 
         nrb, S, npad, n, pad, WB = self.meta
-        out = PW.matmat(nrb, S, npad, n, pad, WB,
-                        self.scal, self.offs, self.vals, X)
+        if self.vals_lo is not None:
+            out = PW.matmat_ds(nrb, S, npad, n, pad, WB,
+                               self.scal, self.offs, self.vals,
+                               self.vals_lo, X)
+        else:
+            out = PW.matmat(nrb, S, npad, n, pad, WB,
+                            self.scal, self.offs, self.vals, X)
         return out.astype(X.dtype)
 
     def diagonal(self):
@@ -925,11 +939,11 @@ def rcm_banded(A, max_diags: int = 256, fill_factor: float = 32.0,
         return hp, perm
     # windowed-slot Pallas gather: any RCM-band-reducible sparsity at
     # ~19x the plain ELL gather (ops/pallas_windowed.py); rejected at
-    # pack time when the band window exceeds the VMEM budget. The kernel
-    # computes in f32, so it must NOT be selected for f64 inputs (a
-    # double-precision solve would silently lose accuracy); small
-    # matrices are served better by the dense/DIA paths.
-    if A.dtype == np.float32 and n >= 4096:
+    # pack time when the band window exceeds the VMEM budget. f64 inputs
+    # run the f32x2 double-single kernel (matmat_ds, ~1e-14 relative —
+    # full double-precision capability, round-4); small matrices are
+    # served better by the dense/DIA paths.
+    if A.dtype in (np.float32, np.float64) and n >= 4096:
         won = WindowedELLOperator.from_scipy(Ap)
         if won is not None:
             return won, perm
