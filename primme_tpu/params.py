@@ -369,6 +369,12 @@ _REFERENCE_ALIASES = {
     "targetShifts": "target_shifts",
     "dynamicMethodSwitch": "dynamic_method_switch",
     "iseed": "rng_seed",
+    # bare sub-struct member names (the F77/MEX surfaces address e.g.
+    # maxInnerIterations without the correction_ scope)
+    "maxInnerIterations": "max_inner_iterations",
+    "robustShifts": "robust_shifts",
+    "relTolBase": "rel_tol_base",
+    "convTest": "conv_test",
 }
 
 _ENUM_FIELDS = {
@@ -380,6 +386,9 @@ _ENUM_FIELDS = {
 
 
 def _canonical(name: str) -> str:
+    # dotted sub-struct labels (primme.correction.maxInnerIterations)
+    # address the same flattened fields
+    name = name.replace(".", "_")
     return _REFERENCE_ALIASES.get(name, name)
 
 
@@ -390,7 +399,8 @@ def member_names() -> Tuple[str, ...]:
 
 def set_member(p: PrimmeParams, name: str, value: Any) -> PrimmeParams:
     """Set a field by (reference or canonical) name; coerces enums from
-    strings like ``"primme_smallest"`` / ``"smallest"``."""
+    strings like ``"primme_smallest"`` / ``"smallest"`` and numeric
+    strings (the text-config surface, ``tests/COMMON/shared_utils.c``)."""
     name = _canonical(name)
     if name not in member_names():
         raise KeyError(f"unknown primme parameter: {name!r}")
@@ -403,7 +413,15 @@ def set_member(p: PrimmeParams, name: str, value: Any) -> PrimmeParams:
                 break
         value = cls(v)
     if name == "target_shifts":
+        if isinstance(value, str):
+            value = value.replace(",", " ").split()
         value = tuple(float(s) for s in value)
+    elif isinstance(value, str):
+        cur = getattr(p, name)
+        if isinstance(cur, bool) or isinstance(cur, int):
+            value = int(value)
+        elif isinstance(cur, float):
+            value = float(value)
     return p.with_(**{name: value})
 
 
@@ -432,3 +450,77 @@ def display_params(p: PrimmeParams, prefix: str = "primme") -> str:
             v = v.value
         lines.append(f"{prefix}.{f.name} = {v}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Constant reflection (``primme_constant_info``,
+# ``src/eigs/primme_interface.c:1100+``): every enum constant of the
+# reference API addressable by name. Values follow the reference headers'
+# declaration order (``include/primme_eigs.h:47-101,256-273``,
+# ``include/primme_svds.h:59-76``) so a config or binding written against
+# the C library resolves identically here.
+# ---------------------------------------------------------------------------
+
+def _enum_table(*name_lists) -> dict:
+    t = {}
+    for names in name_lists:
+        for i, nm in enumerate(names):
+            t[nm] = i
+    return t
+
+
+_CONSTANTS = _enum_table(
+    # primme_target
+    ["primme_smallest", "primme_largest", "primme_closest_geq",
+     "primme_closest_leq", "primme_closest_abs", "primme_largest_abs"],
+    # primme_projection
+    ["primme_proj_default", "primme_proj_RR", "primme_proj_harmonic",
+     "primme_proj_refined"],
+    # primme_init
+    ["primme_init_default", "primme_init_krylov", "primme_init_random",
+     "primme_init_user"],
+    # primme_convergencetest
+    ["primme_full_LTolerance", "primme_decreasing_LTolerance",
+     "primme_adaptive_ETolerance", "primme_adaptive"],
+    # primme_event
+    ["primme_event_outer_iteration", "primme_event_inner_iteration",
+     "primme_event_restart", "primme_event_reset",
+     "primme_event_converged", "primme_event_locked",
+     "primme_event_message", "primme_event_profile"],
+    # primme_orth
+    ["primme_orth_default", "primme_orth_implicit_I",
+     "primme_orth_explicit_I"],
+    # primme_op_datatype
+    ["primme_op_default", "primme_op_half", "primme_op_float",
+     "primme_op_double", "primme_op_quad", "primme_op_int"],
+    # primme_preset_method
+    ["PRIMME_DEFAULT_METHOD", "PRIMME_DYNAMIC", "PRIMME_DEFAULT_MIN_TIME",
+     "PRIMME_DEFAULT_MIN_MATVECS", "PRIMME_Arnoldi", "PRIMME_GD",
+     "PRIMME_GD_plusK", "PRIMME_GD_Olsen_plusK", "PRIMME_JD_Olsen_plusK",
+     "PRIMME_RQI", "PRIMME_JDQR", "PRIMME_JDQMR", "PRIMME_JDQMR_ETol",
+     "PRIMME_STEEPEST_DESCENT", "PRIMME_LOBPCG_OrthoBasis",
+     "PRIMME_LOBPCG_OrthoBasis_Window"],
+    # primme_svds_target
+    ["primme_svds_largest", "primme_svds_smallest",
+     "primme_svds_closest_abs"],
+    # primme_svds_preset_method
+    ["primme_svds_default", "primme_svds_hybrid",
+     "primme_svds_normalequations", "primme_svds_augmented"],
+    # primme_svds_operator
+    ["primme_svds_op_none", "primme_svds_op_AtA", "primme_svds_op_AAt",
+     "primme_svds_op_augmented"],
+)
+
+
+def constant_info(name: str) -> int:
+    """Value of a reference API constant by name
+    (``primme_constant_info``). Raises ``KeyError`` for unknown names."""
+    try:
+        return _CONSTANTS[name]
+    except KeyError:
+        raise KeyError(f"unknown primme constant: {name!r}") from None
+
+
+def constant_names(prefix: str = "") -> Tuple[str, ...]:
+    """All known constant names, optionally filtered by prefix."""
+    return tuple(nm for nm in _CONSTANTS if nm.startswith(prefix))

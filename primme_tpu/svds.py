@@ -107,7 +107,9 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
          maxBlockSize: int = 0, return_stats: bool = False,
          raise_for_unconverged: bool = False, seed: int = 0,
          aNorm: float = 0.0, mesh: Any = None,
-         segment_outer: Optional[int] = None):
+         segment_outer: Optional[int] = None,
+         stage1_params: Optional[dict] = None,
+         stage2_params: Optional[dict] = None):
     """Compute k singular triplets of the rectangular operator ``A``.
 
     Mirrors the reference Python binding (``Python/primme.pyx:1074``) with
@@ -201,6 +203,10 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
         K1 = precAHA if use_ata else precAAH
         K1 = aslinearoperator(K1) if K1 is not None else None
         p1 = set_method(meth1, p1, has_precond=K1 is not None)
+        for kk, vv in (stage1_params or {}).items():
+            # embedded stage-1 field overrides (the reference's
+            # primme_svds.primme.* labels) win over preset defaults
+            p1 = prm.set_member(p1, kk, vv)
 
         g0 = None
         if use_ata and v0 is not None:
@@ -375,6 +381,9 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
 
                 K2 = FunctionOperator(kf, (m_p + n_p, m_p + n_p), K2.dtype)
             p2 = set_method(meth2, p2, has_precond=K2 is not None)
+            for kk, vv in (stage2_params or {}).items():
+                # primme_svds.primmeStage2.* label overrides
+                p2 = prm.set_member(p2, kk, vv)
 
             inner2 = None
             if p2.max_inner_iterations != 0:
@@ -441,3 +450,180 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
     if return_stats:
         out.append(stats_all)
     return tuple(out) if len(out) > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# svds parameter reflection (``primme_svds_params`` label surface,
+# ``src/svds/primme_svds_interface.c:406+``): svds-level fields plus the
+# two embedded stage configurations addressable as ``primme.*`` /
+# ``primmeStage2.*`` — the same dotted labels the reference's bindings
+# and text configs use (``tests/COMMON/shared_utils.c``).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+_SVDS_ALIASES = {
+    "numSvals": "num_svals",
+    "aNorm": "a_norm",
+    "maxMatvecs": "max_matvecs",
+    "maxBasisSize": "max_basis_size",
+    "maxBlockSize": "max_block_size",
+    "printLevel": "print_level",
+    "targetShifts": "target_shifts",
+    "methodStage2": "method_stage2",
+    "iseed": "rng_seed",
+}
+
+_SVDS_TARGETS = ("primme_svds_largest", "primme_svds_smallest",
+                 "primme_svds_closest_abs")
+_SVDS_METHODS = ("default", "hybrid", "normalequations", "augmented")
+
+
+@_dc.dataclass(frozen=True)
+class SvdsParams:
+    """SVD solver configuration (analogue of ``primme_svds_params``,
+    ``include/primme_svds.h:78-140``, minus the operator callbacks).
+
+    ``primme`` / ``primme_stage2`` hold the embedded per-stage overrides
+    as canonical-name dicts — the reflection route to any field of the
+    two inner eigensolver configurations, exactly like the reference's
+    embedded ``primme_params`` structs (``include/primme_svds.h:85-89``).
+    """
+
+    m: int = 0
+    n: int = 0
+    num_svals: int = 1
+    target: str = "primme_svds_largest"
+    target_shifts: tuple = ()
+    eps: float = 0.0
+    a_norm: float = 0.0
+    max_matvecs: int = 0
+    max_basis_size: int = 0
+    max_block_size: int = 0
+    print_level: int = 1
+    locking: int = -1
+    method: str = "hybrid"
+    method_stage2: str = ""
+    rng_seed: int = 0
+    primme: dict = _dc.field(default_factory=dict)
+    primme_stage2: dict = _dc.field(default_factory=dict)
+
+    def with_(self, **kw) -> "SvdsParams":
+        return _dc.replace(self, **kw)
+
+
+def _svds_canonical(name: str) -> str:
+    return _SVDS_ALIASES.get(name, name)
+
+
+def svds_member_names() -> tuple:
+    return tuple(f.name for f in _dc.fields(SvdsParams))
+
+
+# a template params for validating/coercing embedded stage labels
+_STAGE_TEMPLATE = PrimmeParams(n=0, num_evals=1)
+
+
+def svds_set_member(sp: SvdsParams, name: str, value) -> SvdsParams:
+    """Set an svds field by label. Dotted labels route into the embedded
+    stage configs: ``primme.maxBasisSize`` (stage 1),
+    ``primmeStage2.maxInnerIterations`` (stage 2) — validated and
+    coerced through the eigensolver's own reflection
+    (:func:`primme_tpu.params.set_member`)."""
+    if "." in name:
+        head, rest = name.split(".", 1)
+        if head not in ("primme", "primmeStage2"):
+            raise KeyError(f"unknown svds parameter scope: {head!r}")
+        # validate + coerce through the eigs reflection layer
+        probe = prm.set_member(_STAGE_TEMPLATE, rest, value)
+        canon = prm._canonical(rest)
+        tgt = "primme" if head == "primme" else "primme_stage2"
+        d = dict(getattr(sp, tgt))
+        d[canon] = getattr(probe, canon)
+        return sp.with_(**{tgt: d})
+    name = _svds_canonical(name)
+    if name not in svds_member_names():
+        raise KeyError(f"unknown primme_svds parameter: {name!r}")
+    if name == "target" and isinstance(value, (int, np.integer)):
+        value = _SVDS_TARGETS[int(value)]
+    if name == "target_shifts":
+        if isinstance(value, str):
+            value = value.replace(",", " ").split()
+        value = tuple(float(s) for s in value)
+    elif isinstance(value, str) and name not in ("target", "method",
+                                                 "method_stage2"):
+        cur = getattr(sp, name)
+        if isinstance(cur, int):
+            value = int(value)
+        elif isinstance(cur, float):
+            value = float(value)
+    if name in ("method", "method_stage2") and isinstance(value, str):
+        value = value.replace("primme_svds_", "")
+    return sp.with_(**{name: value})
+
+
+def svds_get_member(sp: SvdsParams, name: str):
+    """Get an svds field by label (dotted labels read the embedded stage
+    override dicts; unset embedded fields return the stage default)."""
+    if "." in name:
+        head, rest = name.split(".", 1)
+        tgt = {"primme": "primme", "primmeStage2": "primme_stage2"}[head]
+        canon = prm._canonical(rest)
+        d = getattr(sp, tgt)
+        if canon in d:
+            return d[canon]
+        return prm.get_member(_STAGE_TEMPLATE, rest)
+    return getattr(sp, _svds_canonical(name))
+
+
+def svds_member_info(name: str) -> dict:
+    """Type/default metadata (``primme_svds_member_info`` parity)."""
+    if "." in name:
+        return prm.member_info(name.split(".", 1)[1])
+    name = _svds_canonical(name)
+    f = {fl.name: fl for fl in _dc.fields(SvdsParams)}.get(name)
+    if f is None:
+        raise KeyError(name)
+    return {"name": name, "type": f.type, "default": f.default}
+
+
+def svds_display_params(sp: SvdsParams) -> str:
+    """Text dump (``primme_svds_display_params`` analogue)."""
+    lines = [f"// {'-' * 51}",
+             "//              primme_svds configuration",
+             f"// {'-' * 51}"]
+    for f in _dc.fields(SvdsParams):
+        v = getattr(sp, f.name)
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                scope = ("primme" if f.name == "primme"
+                         else "primmeStage2")
+                lines.append(f"primme_svds.{scope}.{kk} = {vv}")
+        else:
+            lines.append(f"primme_svds.{f.name} = {v}")
+    return "\n".join(lines)
+
+
+def svds_from_params(A, sp: SvdsParams, **extra):
+    """Run :func:`svds` from an :class:`SvdsParams` configuration (the
+    reference's ``dprimme_svds(svals, svecs, resNorms, &primme_svds)``
+    flow: configuration struct in, triplets out)."""
+    which = {"primme_svds_largest": "LM",
+             "primme_svds_smallest": "SM",
+             "primme_svds_closest_abs": float(
+                 sp.target_shifts[0]) if sp.target_shifts else 0.0
+             }[sp.target]
+    kw = dict(k=sp.num_svals, tol=sp.eps, which=which,
+              method=(sp.method or "hybrid"), aNorm=sp.a_norm,
+              maxBlockSize=sp.max_block_size, seed=sp.rng_seed,
+              stage1_params=dict(sp.primme) or None,
+              stage2_params=dict(sp.primme_stage2) or None)
+    if sp.method_stage2:
+        kw["methodStage2"] = sp.method_stage2
+    if sp.max_matvecs:
+        kw["maxiter"] = sp.max_matvecs
+    if sp.max_basis_size:
+        kw["ncv"] = sp.max_basis_size
+    kw.update(extra)
+    return svds(A, **kw)

@@ -397,10 +397,18 @@ def run_svds_config(path: str, base_dir: str = None,
         K = JacobiPrecond(np.where(d < 1e-300, 1.0, d), use_shifts=False)
         prec = {"precAHA": K} if tall else {"precAAH": K}
 
+    # embedded per-stage labels (primme_svds.primme.* /
+    # primme_svds.primmeStage2.*) route through the svds reflection layer
+    s1 = {kk.split(".", 1)[1]: vv for kk, vv in f.items()
+          if kk.startswith("primme.")}
+    s2 = {kk.split(".", 1)[1]: vv for kk, vv in f.items()
+          if kk.startswith("primmeStage2.")}
+
     # budget comparable to the reference's own consumption on these
     # configs (measured: 136k matvecs on test_203, 162k on test_204)
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
-                           maxiter=250000, **prec)
+                           maxiter=250000, stage1_params=s1 or None,
+                           stage2_params=s2 or None, **prec)
     save = save_x_file or (
         os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
