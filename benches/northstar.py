@@ -40,14 +40,23 @@ def main():
     with jax.enable_x64(False):
         A32 = Stencil3DOperator(nx, nx, nx, dtype=jnp.float32)
         K32 = JacobiPrecond(A32.diagonal())
-        p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=24,
-                         max_block_size=2, min_restart_size=k + 4,
-                         max_matvecs=60000, locking=0)
+        if k <= 20:
+            # small-k shape: windowed soft-locking basis (round-3 north-star)
+            p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=24,
+                             max_block_size=2, min_restart_size=k + 4,
+                             max_matvecs=60000, locking=0)
+            blk, seg = 2, 100
+        else:
+            # large-k shape: hard locking + deep basis (benches/large.py
+            # --k100, measured 28.8 s for k=100 at eps 1e-5)
+            p = PrimmeParams(n=n, num_evals=k, eps=1e-5, max_basis_size=64,
+                             max_block_size=4, max_matvecs=120000, locking=1)
+            blk, seg = 4, 150
         p = set_method(Method.JDQMR_ETol, p, has_precond=True)
-        v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 2)),
+        v0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, blk)),
                          jnp.float32)
         r = solve_eigs(A32, p, K=K32, v0=v0, dtype=jnp.float32,
-                       inner_solve=jdqmr_inner_solve, segment_outer=100)
+                       inner_solve=jdqmr_inner_solve, segment_outer=seg)
         r.evals.block_until_ready()
         X32 = np.asarray(r.evecs)
     t32 = time.perf_counter() - t0
@@ -59,7 +68,8 @@ def main():
     K64 = ChebyshevPrecond.from_operator(A64, degree=8)
     t0 = time.perf_counter()
     ev, X, st = refine_eigsh(A64, X32, tol=args.tol, OPinv=K64,
-                             maxiter=200, return_stats=True)
+                             maxiter=200, return_stats=True,
+                             progress=5 if k > 20 else 0)
     t64 = time.perf_counter() - t0
 
     ax = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))

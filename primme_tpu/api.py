@@ -52,7 +52,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           maxInnerIterations: Optional[int] = None,
           time_breakdown: bool = False,
           segment_outer: Optional[int] = None,
-          verify_spectrum: Optional[int] = None):
+          verify_spectrum: Optional[int] = None,
+          monitor_inner: bool = False):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -196,7 +197,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
 
     history: dict = {"num_matvecs": [], "num_outer": [], "num_locked": [],
                      "num_converged": [], "basis_size": [], "event": [],
-                     "num_inner": [], "hvals": [], "resnorms": []}
+                     "num_inner": [], "hvals": [], "resnorms": [],
+                     "inner": []}
 
     # event taxonomy matches the reference's primme_event enum
     # (include/primme_eigs.h:80-89): 0 outer_iteration, 1 inner_iteration,
@@ -206,8 +208,22 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     mon = monitor
     if mon is None and printLevel >= 2:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
-                basis_size, num_inner, hvals, resnorms):
-            # default_monitor-style text reporting (primme_c.c:602)
+                basis_size, num_inner, hvals, resnorms,
+                inner_trace=None):
+            # default_monitor-style text reporting (primme_c.c:602);
+            # per-inner-iteration INN lines when monitor_inner=True
+            # replay the device-recorded QMR trace (inner_solve.c:491)
+            if inner_trace is not None and int(num_inner) > 0:
+                tr = np.asarray(inner_trace)
+                for i in range(min(int(num_inner), tr.shape[0])):
+                    al = tr[i, :, 2] > 0
+                    if not al.any():
+                        continue
+                    j = int(np.argmax(al))
+                    print(f"INN it={int(num_outer):5d} qmr={i:3d} "
+                          f"alive={int(al.sum())} "
+                          f"val[0]={tr[i, j, 0]:+.10e} "
+                          f"eres[0]={tr[i, j, 1]:.3e}")
             ev = _EV.get(int(event), "?")
             print(f"{ev} it={int(num_outer):5d} mv={int(num_matvecs):6d} "
                   f"lock={int(num_locked):3d} conv={int(num_converged):3d} "
@@ -217,7 +233,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
 
     if return_history and mon is None:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
-                basis_size, num_inner, hvals, resnorms):
+                basis_size, num_inner, hvals, resnorms,
+                inner_trace=None):
             history["event"].append(int(event))
             history["num_outer"].append(int(num_outer))
             history["num_matvecs"].append(int(num_matvecs))
@@ -227,6 +244,10 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             history["num_inner"].append(int(num_inner))
             history["hvals"].append(np.asarray(hvals))
             history["resnorms"].append(np.asarray(resnorms))
+            if inner_trace is not None:
+                tr = np.asarray(inner_trace)
+                history["inner"].append(tr[:min(int(num_inner),
+                                                tr.shape[0])])
 
     shard = None
     if mesh is not None:
@@ -271,10 +292,20 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         if p.max_inner_iterations != 0:
             from .core.inner import jdqmr_inner_solve
             inner = jdqmr_inner_solve
+        itcap = 0
+        # printLevel >= 4 reports inner iterations like the reference
+        # (default_monitor, primme_c.c:602 at primme_event_inner_iteration)
+        if (monitor_inner or printLevel >= 4) and mon is not None \
+                and inner is not None:
+            # bounded on-device replay buffer; beyond-cap iterations
+            # overwrite the last slot (count still exact via num_inner)
+            mi = p.max_inner_iterations
+            itcap = min(mi, 128) if mi > 0 else 128
         return solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
                           ortho_const=oc, inner_solve=inner, dtype=dtype,
                           monitor=mon, shard=shard, convtest=convtest,
-                          segment_outer=segment_outer)
+                          segment_outer=segment_outer,
+                          inner_trace_cap=itcap)
 
     res: EigsResult = _run_solve()
 
@@ -349,7 +380,7 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
          maxiter: Optional[int] = None, v0: Any = None,
          return_eigenvectors: bool = True, return_stats: bool = False,
          method: Optional[Any] = None, maxMatvecs: Optional[int] = None,
-         OPinv: Any = None, raise_for_unconverged: bool = False,
+         OPinv: Any = None, raise_for_unconverged: bool = True,
          seed: int = 0, maxInnerIterations: Optional[int] = None,
          segment_outer: Optional[int] = None):
     """Eigenpairs of a *normal* (non-Hermitian, A A^H = A^H A) operator —

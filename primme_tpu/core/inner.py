@@ -202,6 +202,13 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         its: jax.Array
         nmv: jax.Array
         nprec: jax.Array
+        # per-iteration event buffer [cap, blk, 3] (value, eres, alive);
+        # [1, 1, 3] when tracing is off (primme_event_inner_iteration,
+        # inner_solve.c:491-500 — recorded on device, replayed to the
+        # monitor once per outer iteration)
+        trace: jax.Array
+
+    tcap = int(getattr(cfg, "inner_trace_cap", 0) or 0)
 
     g0 = -R * vmaskf
     d0 = apply_K_proj(g0)
@@ -219,7 +226,8 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
         Gamma=jnp.zeros((blk,), rdt), eval_prev=lam,
         eres_prev=jnp.zeros((blk,), rdt),
         its=jnp.zeros((), jnp.int32), nmv=jnp.zeros((), jnp.int32),
-        nprec=jnp.zeros((), jnp.int32))
+        nprec=jnp.zeros((), jnp.int32),
+        trace=jnp.zeros((tcap, blk, 3) if tcap > 0 else (1, 1, 3), rdt))
 
     def cond(st: QmrState):
         return jnp.any(st.alive) & (st.its < max_its)
@@ -306,6 +314,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
                 Gamma=Gamma_n * kf + st.Gamma * nkf,
                 eval_prev=eval_upd * kf + st.eval_prev * nkf,
                 eres_prev=eres * kf + st.eres_prev * nkf)
+            trace_val, trace_res = eval_upd, eres
         else:
             sqit = jnp.sqrt(st.its.astype(rdt) + 1.0)
             isconv = (tau / LTol_factor) * sqit < conv_tol
@@ -313,6 +322,18 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
             st_new_eig = dict(Beta=st.Beta, Delta=st.Delta, Phi=st.Phi,
                               Psi=st.Psi, Gamma=st.Gamma,
                               eval_prev=st.eval_prev, eres_prev=st.eres_prev)
+            trace_val, trace_res = lam, tau
+
+        trace = st.trace
+        if tcap > 0:
+            # record (value, eigenresidual/QMR-residual, alive) — the
+            # fields the reference's inner-iteration monitor call reports
+            rec = jnp.stack([trace_val.astype(rdt), trace_res.astype(rdt),
+                             am.astype(rdt)], axis=-1)
+            z = jnp.zeros((), jnp.int32)
+            trace = jax.lax.dynamic_update_slice(
+                st.trace, rec[None],
+                (jnp.minimum(st.its, tcap - 1).astype(jnp.int32), z, z))
 
         alive_next = am & ~stop
 
@@ -340,6 +361,7 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
             theta_prev=theta * anf + st.theta_prev * annf,
             its=st.its + 1, nmv=(st.nmv + nalive).astype(jnp.int32),
             nprec=(st.nprec + jnp.sum(alive_next.astype(jnp.int32))).astype(jnp.int32),
+            trace=trace,
             **st_new_eig)
 
     st = jax.lax.while_loop(cond, body, st0)
@@ -351,6 +373,8 @@ def jdqmr_inner_solve(cfg, A, B, K, s, X, BX, R, sigma, res, valid, tol,
     sol = jnp.where((solnorm < jnp.finfo(rdt).tiny)[None, :] & (vmaskf != 0),
                     R, sol)
     n_prec0 = jnp.sum(valid.astype(jnp.int32)) if K is not None else 0
+    if tcap > 0:
+        return sol, st.its, st.nmv, st.nprec + n_prec0, st.trace
     return sol, st.its, st.nmv, st.nprec + n_prec0
 
 

@@ -162,6 +162,11 @@ class SolverState(NamedTuple):
     probe_clean: jax.Array       # int32: consecutive rounds finding nothing
     verified: jax.Array          # bool: returned set survived probing
     give_up: jax.Array           # bool: stagnation bail-out (honest exit)
+    # Per-inner-iteration event buffer (cfg.inner_trace_cap > 0):
+    # [cap, blk, 3] = (Ritz-value estimate, eigenresidual estimate,
+    # alive flag) recorded by the QMR loop each iteration, replayed to
+    # the monitor after the outer iteration. [1, 1, 3] zeros when off.
+    inner_trace: jax.Array
     # control
     key: jax.Array
     done: jax.Array
@@ -287,6 +292,15 @@ class SolveConfig(NamedTuple):
     # round budget.
     probe_extra: int = 0
     max_probe_rounds: int = 0
+    # Per-inner-iteration monitor events (primme_event_inner_iteration,
+    # src/eigs/inner_solve.c:491-500). The reference calls monitorFun
+    # from inside the QMR loop; under XLA the loop is one fused device
+    # program, so a host callback per inner iteration would serialize
+    # it. TPU-native design: the QMR loop records (value, eres, alive)
+    # per iteration into a bounded on-device ring buffer, replayed to
+    # the monitor in one host callback per outer iteration — same
+    # observability, no per-iteration sync. 0 disables recording.
+    inner_trace_cap: int = 0
 
 
 def make_config(p: PrimmeParams) -> SolveConfig:
@@ -1197,28 +1211,37 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     else:
         prev = s.prev_hvecs
 
+    trace0 = jnp.zeros_like(s.inner_trace)
+
     def _corrections(kr):
         n_inner = jnp.zeros((), jnp.int32)
         n_prec = jnp.zeros((), jnp.int32)
         n_mv_inner = jnp.zeros((), jnp.int32)
+        trace = trace0
         if cfg.max_inner != 0 and inner_solve is not None:
-            D, n_inner, n_mv_inner, n_prec = inner_solve(
+            out = inner_solve(
                 cfg, A, B, K, s, X, BX, R, sigma, res, valid, win.tol,
                 evals=lam)
+            if len(out) == 5:     # built-in solver with tracing enabled
+                D, n_inner, n_mv_inner, n_prec, trace = out
+                trace = trace.astype(trace0.dtype)
+            else:
+                D, n_inner, n_mv_inner, n_prec = out
         else:
             D = gd_correction(cfg, K, R, X, sigma, valid)
             if K is not None:
                 n_prec = nc.astype(jnp.int32)
-        return D, _i32(n_inner), _i32(n_mv_inner), _i32(n_prec)
+        return D, _i32(n_inner), _i32(n_mv_inner), _i32(n_prec), trace
 
     key, kk, kr = jax.random.split(s.key, 3)
     if force_random is None:
-        D, n_inner, n_mv_inner, n_prec = _corrections(kr)
+        D, n_inner, n_mv_inner, n_prec, itrace = _corrections(kr)
     else:
         z = jnp.zeros((), jnp.int32)
-        D, n_inner, n_mv_inner, n_prec = jax.lax.cond(
+        D, n_inner, n_mv_inner, n_prec, itrace = jax.lax.cond(
             force_random,
-            lambda kr: (_rand_block(kr, cfg.n, blk, R.dtype), z, z, z),
+            lambda kr: (_rand_block(kr, cfg.n, blk, R.dtype), z, z, z,
+                        trace0),
             _corrections, kr)
     locked = ((s.evecs, s.Bevecs if B is not None else s.evecs)
               if (cfg.noc > 0 or cfg.locking) else None)
@@ -1299,7 +1322,8 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         num_ortho_inner_prods=s.stats.num_ortho_inner_prods + vol_bo)
     return s._replace(V=V, W=W, BV=BV, H=H, b=_i32(s.b + nc),
                       prev_hvecs=prev, key=key, stats=stats,
-                      prev_ritz=prev_ritz2, num_prev_ritz=num_prev2)
+                      prev_ritz=prev_ritz2, num_prev_ritz=num_prev2,
+                      inner_trace=itrace)
 
 
 
@@ -1375,10 +1399,13 @@ def _shift_array(p: PrimmeParams, rdt) -> jax.Array:
 
 
 def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
-                 ortho_const=None, key=None, dtype=None, shard=None):
+                 ortho_const=None, key=None, dtype=None, shard=None,
+                 inner_trace_cap: int = 0):
     """Build config + initial state (``wrapper_Sprimme`` setup portion,
     ``src/eigs/primme_c.c:278``)."""
     cfg = make_config(p)
+    if inner_trace_cap:
+        cfg = cfg._replace(inner_trace_cap=int(inner_trace_cap))
     dtype = jnp.dtype(dtype or A.dtype)   # basis STORAGE dtype
     cdt = la.compute_dtype(dtype)         # small-dense / accumulation dtype
     rdt = real_dtype(cdt)
@@ -1468,6 +1495,9 @@ def _build_state(cfg: SolveConfig, A, B, v0, ortho_const, key, dtype,
         probe_ref=jnp.asarray(jnp.finfo(rdt).max, rdt),
         probe_clean=jnp.zeros((), jnp.int32),
         verified=jnp.asarray(cfg.probe_extra == 0, jnp.bool_),
+        inner_trace=jnp.zeros(
+            (cfg.inner_trace_cap, cfg.blk, 3) if cfg.inner_trace_cap > 0
+            else (1, 1, 3), rdt),
         give_up=jnp.zeros((), jnp.bool_), key=key,
         done=jnp.zeros((), jnp.bool_), stats=stats)
     return s0
@@ -1667,6 +1697,14 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                         need_restart & ~done, 2, jnp.where(
                             win.nconv > 0, 4, jnp.where(
                                 inner_delta > 0, 1, 0)))))
+            mon_kwargs = {}
+            if cfg.inner_trace_cap > 0:
+                # replay buffer for per-inner-iteration events
+                # (primme_event_inner_iteration, inner_solve.c:491-500):
+                # the host monitor re-emits one INN event per recorded
+                # QMR iteration — same observability as the reference's
+                # in-loop monitorFun call, one host sync per OUTER it.
+                mon_kwargs["inner_trace"] = s2.inner_trace
             jax.debug.callback(
                 monitor,
                 event=ev,
@@ -1678,7 +1716,8 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 num_inner=inner_delta,
                 hvals=win.sol.hvals[:kshow],
                 resnorms=win.cands.resnorms[:kshow],
-                ordered=True)
+                ordered=True,
+                **mon_kwargs)
         return s2._replace(done=done, give_up=give_up)
 
     return jax.lax.while_loop(cond, body, s)
@@ -1747,7 +1786,8 @@ def extract_result(cfg: SolveConfig, s: SolverState, shifts,
 def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                ortho_const=None, key=None, inner_solve=None,
                dtype=None, debug=False, monitor=None,
-               shard=None, convtest=None, segment_outer=None) -> EigsResult:
+               shard=None, convtest=None, segment_outer=None,
+               inner_trace_cap: int = 0) -> EigsResult:
     """Run the eigensolver. All operators are
     :class:`~primme_tpu.operators.LinearOperator`; ``p`` must be resolved
     (via ``set_method``/``resolve_defaults``). Jittable end-to-end.
@@ -1765,7 +1805,8 @@ def solve_eigs(A, p: PrimmeParams, *, B=None, K=None, v0=None,
     """
     cfg, shifts, s0 = setup_solver(A, p, B=B, v0=v0,
                                    ortho_const=ortho_const, key=key,
-                                   dtype=dtype, shard=shard)
+                                   dtype=dtype, shard=shard,
+                                   inner_trace_cap=inner_trace_cap)
     if segment_outer is None:
         s = _run_segment_jit(cfg, A, B, K, inner_solve, shifts, s0,
                              jnp.asarray((1 << 31) - 1, jnp.int32), debug,

@@ -25,7 +25,8 @@ import numpy as np
 
 def refine_eigsh(A: Any, X0: Any, *, tol: float, OPinv: Any = None,
                  which: str = "SA", maxiter: int = 300, aNorm: float = 0.0,
-                 device: str = "auto", return_stats: bool = False):
+                 device: str = "auto", return_stats: bool = False,
+                 progress: int = 0):
     """Refine approximate eigenpairs of Hermitian ``A`` to ``tol * ||A||``
     in float64.
 
@@ -63,11 +64,11 @@ def refine_eigsh(A: Any, X0: Any, *, tol: float, OPinv: Any = None,
     with ctx:
         return _refine_impl(A, X0, tol=tol, OPinv=OPinv, which=which,
                             maxiter=maxiter, aNorm=aNorm,
-                            return_stats=return_stats)
+                            return_stats=return_stats, progress=progress)
 
 
 def _refine_impl(A, X0, *, tol, OPinv, which, maxiter, aNorm,
-                 return_stats):
+                 return_stats, progress=0):
     import jax
     import jax.numpy as jnp
 
@@ -164,7 +165,11 @@ def _refine_impl(A, X0, *, tol, OPinv, which, maxiter, aNorm,
     for it in range(1, maxiter + 1):
         X, P, lam, res = step(X, P)
         anorm = max(anorm, float(jnp.max(jnp.abs(lam))))
-        if float(jnp.max(res)) <= tol * anorm:
+        mres = float(jnp.max(res))
+        if progress and it % progress == 0:
+            print(f"  refine it={it} max_res/||A||={mres / anorm:.2e}",
+                  flush=True)
+        if mres <= tol * anorm:
             break
     order = np.argsort(sgn * np.asarray(lam))
     evals = np.asarray(lam)[order]

@@ -105,7 +105,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
          methodStage2: Optional[Any] = None, sigma: Optional[float] = None,
          precAHA: Any = None, precAAH: Any = None, precAug: Any = None,
          maxBlockSize: int = 0, return_stats: bool = False,
-         raise_for_unconverged: bool = False, seed: int = 0,
+         raise_for_unconverged: bool = True, seed: int = 0,
          aNorm: float = 0.0, mesh: Any = None,
          segment_outer: Optional[int] = None,
          stage1_params: Optional[dict] = None,

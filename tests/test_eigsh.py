@@ -327,6 +327,37 @@ def test_monitor_event_taxonomy(tridiag):
     assert 2 in {e for e, _ in events}    # restart events (ncv=10)
 
 
+def test_monitor_inner_iterations(tridiag):
+    """Per-inner-iteration events (primme_event_inner_iteration,
+    src/eigs/inner_solve.c:491-500): with monitor_inner=True the monitor
+    receives the device-recorded QMR trace — one (value, eres, alive)
+    row per inner iteration — replayed once per outer iteration (the
+    TPU-native shape of the reference's in-loop monitorFun call)."""
+    A, ref = tridiag
+    rows = []
+
+    def mon(event, num_inner, inner_trace=None, **kw):
+        if inner_trace is not None and int(num_inner) > 0:
+            tr = np.asarray(inner_trace)
+            rows.append((int(num_inner), tr[:min(int(num_inner),
+                                                 tr.shape[0])]))
+
+    vals, _, st = eigsh(A, k=4, which="SA", tol=1e-10, method="JDQMR",
+                        monitor=mon, monitor_inner=True, return_stats=True,
+                        raise_for_unconverged=False)
+    assert_close(vals, ref[:4])
+    assert rows, "no inner traces delivered"
+    total = sum(ni for ni, _ in rows)
+    assert total == st["num_inner_iterations"]
+    for ni, tr in rows:
+        assert tr.ndim == 3 and tr.shape[2] == 3
+        # first recorded iteration has at least one alive column and a
+        # finite eigenresidual estimate
+        assert (tr[0, :, 2] > 0).any()
+        alive0 = tr[0, :, 2] > 0
+        assert np.isfinite(tr[0, alive0, :2]).all()
+
+
 def test_dynamic_reprobes_idle_method():
     """DYNAMIC must keep measuring the non-current method (the reference
     updates both cost models every iteration, main_iter.c:2194

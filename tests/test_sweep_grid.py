@@ -1,0 +1,129 @@
+"""testi-* interface grid (round-3 VERDICT #10): the reference generates
+~400 driver runs over a 1-D Laplacian family — method x matrix-size x
+numEvals x target (``/root/reference/tests/Makefile:146-180``, the
+``testi-*.F`` programs). This grid mirrors that breadth on cheap
+fixtures, widened to four spectrum families (the reference varies only
+the Laplacian size; random/clustered/geometric spectra catch what a
+fixed well-separated spectrum cannot).
+
+Case ordering is explicit and chosen for XLA compile-cache reuse: the 8
+spectrum variants (4 families x 2 seeds) of one solver config are
+contiguous, so each distinct (n, k, method, which) compiles once (~5 s
+on the CPU backend) and the remaining 7 cases run warm (~0.01 s) —
+~370 cases for ~46 compiles.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+
+from primme_tpu import eigsh, Method
+
+pytestmark = pytest.mark.slow
+
+
+# ---------------------------------------------------------------------------
+# spectrum families (all return a dense/sparse symmetric A + exact evals)
+# ---------------------------------------------------------------------------
+
+def _rot(n, rng):
+    return np.linalg.qr(rng.normal(size=(n, n)))[0]
+
+
+def _from_spectrum(vals, rng):
+    Q = _rot(len(vals), rng)
+    A = (Q * vals[None, :]) @ Q.T
+    return (A + A.T) / 2, np.sort(vals)
+
+
+def _make(family, n, seed):
+    fam_id = ["lap1d", "randsym", "cluster3", "linspace",
+              "geometric"].index(family)
+    rng = np.random.default_rng(7919 * seed + 131 * n + fam_id)
+    if family == "lap1d":
+        scale = 1.0 + 0.5 * seed
+        A = scale * sp.diags([2.0 * np.ones(n), -np.ones(n - 1),
+                              -np.ones(n - 1)], [0, 1, -1]).tocsr()
+        ref = scale * (2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1)
+                                          / (n + 1)))
+        return A, np.sort(ref)
+    if family == "randsym":
+        A = rng.normal(size=(n, n))
+        A = (A + A.T) / 2
+        return A, np.linalg.eigvalsh(A)
+    if family == "cluster3":
+        vals = np.repeat(np.arange(1.0, n + 1.0), 3)[:n]
+        return _from_spectrum(vals, rng)
+    if family == "linspace":
+        return _from_spectrum(np.linspace(1.0, 40.0, n), rng)
+    if family == "geometric":
+        vals = np.logspace(0, 3, n)
+        return _from_spectrum(vals, rng)
+    raise AssertionError(family)
+
+
+# methods safe on spectra with 3-fold clusters under default blockSize
+# (single-vector shift-chasing methods get the well-separated family
+# instead — same shapes, so the swap costs no compile)
+_NO_CLUSTER = {Method.RQI, Method.Arnoldi, Method.JDQR}
+
+_M = list(Method)
+_LA_M = [Method.GD_plusK, Method.GD_Olsen_plusK, Method.JD_Olsen_plusK,
+         Method.JDQMR, Method.JDQMR_ETol, Method.LOBPCG_OrthoBasis,
+         Method.STEEPEST_DESCENT, Method.DEFAULT_MIN_TIME]
+
+_CONFIGS = (
+    [(10, 1, m, "SA") for m in _M]
+    + [(48, 5, m, "SA") for m in _M]
+    + [(48, 5, m, "LA") for m in _LA_M]
+    + [(2, 1, Method.DEFAULT_MIN_MATVECS, "SA"),
+       (2, 2, Method.DEFAULT_MIN_MATVECS, "SA"),
+       (5, 5, Method.DEFAULT_MIN_MATVECS, "SA"),
+       (10, 10, Method.GD_Olsen_plusK, "SA"),
+       (100, 20, Method.GD_Olsen_plusK, "SA"),
+       (100, 20, Method.JDQMR_ETol, "LA")]
+)
+
+_FAMILIES = ["lap1d", "randsym", "cluster3", "geometric"]
+_SEEDS = [0, 1]
+
+# explicit ordering: variants of one config contiguous (cache reuse)
+_CASES = [(n, k, m, which, fam, seed)
+          for (n, k, m, which) in _CONFIGS
+          for fam in _FAMILIES
+          for seed in _SEEDS
+          if not (fam == "cluster3" and n < 6)]
+
+_COUNT = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _cache_relief():
+    # ~46 distinct configs total; dropping caches every 64 cases keeps
+    # <= ~10 executables alive (the XLA CPU backend aborts near ~80)
+    yield
+    _COUNT["n"] += 1
+    if _COUNT["n"] % 64 == 0:
+        jax.clear_caches()
+
+
+@pytest.mark.parametrize(
+    "n,k,method,which,family,seed", _CASES,
+    ids=[f"{m.name}-n{n}-k{k}-{w}-{f}-s{s}"
+         for (n, k, m, w, f, s) in _CASES])
+def test_grid(n, k, method, which, family, seed):
+    if family == "cluster3" and method in _NO_CLUSTER:
+        family = "linspace"
+    A, ref = _make(family, n, seed)
+    scale = max(1.0, float(np.abs(ref).max()))
+    mv = 6000 if k < 20 else 30000
+    vals, vecs = eigsh(A, k=k, which=which, tol=1e-8, method=method,
+                       maxMatvecs=mv, raise_for_unconverged=False)
+    expect = ref[:k] if which == "SA" else ref[-k:]
+    err = np.abs(np.sort(vals) - np.sort(expect)).max()
+    assert err < 1e-6 * scale, \
+        f"{method.name} n={n} k={k} {which} {family} s{seed}: {err:.2e}"
+    G = vecs.conj().T @ vecs
+    assert np.abs(G - np.eye(k)).max() < 1e-7
