@@ -406,9 +406,12 @@ def run_svds_config(path: str, base_dir: str = None,
 
     # budget comparable to the reference's own consumption on these
     # configs (measured: 136k matvecs on test_203, 162k on test_204)
+    # the harness does its own residual/golden checking below; report a
+    # failed CheckResult rather than raising mid-harness
     U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
                            maxiter=250000, stage1_params=s1 or None,
-                           stage2_params=s2 or None, **prec)
+                           stage2_params=s2 or None,
+                           raise_for_unconverged=False, **prec)
     save = save_x_file or (
         os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
