@@ -193,8 +193,13 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             # (Measured on test_204: finds 4/4 null members in ~30k
             # matvecs where the reference's augmented stage-2 grind spends
             # 162k and returns 2/4.)
+            # Depth choice measured on the reference corpus (round 4):
+            # lund_b SM k5 7e-12 total matvecs 161,569 (mbs 64) ->
+            # 50,974 (mbs 96, 3.1x under the reference's 157,589);
+            # rect SM k4 1e-12: 113,544 -> 104,491 (mbs 128 regresses
+            # rect to 145,928 — 96 is the robust point).
             if not ncv:
-                p1 = p1.with_(max_basis_size=min(nn, 64))
+                p1 = p1.with_(max_basis_size=min(nn, 96))
             if not maxBlockSize:
                 p1 = p1.with_(max_block_size=max(1, min(4, k)))
         meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
