@@ -36,12 +36,12 @@ def main():
     n = nx * ny * nz
     A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
-    # minRestartSize=14 > k: restarts keep all converged pairs plus room
-    # (measured: ~25% fewer matvecs than the block-aligned default of 9
-    # on this config); max_matvecs covers the spectrum-verification
-    # probe rounds on top of the solve.
-    p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
-                     max_block_size=2, min_restart_size=14,
+    # minRestartSize=16 > k: restarts keep all converged pairs plus room;
+    # mbs=26/mrs=16 measured best in the round-4 sweep (0.136 s / 1445 mv
+    # / 2 probe rounds vs 0.153 s at 24/14); max_matvecs covers the
+    # spectrum-verification probe rounds on top of the solve.
+    p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=26,
+                     max_block_size=2, min_restart_size=16,
                      max_matvecs=16000, locking=0)
     # JDQMR_ETol: the QMR inner loop costs ~1 matvec + 2 dots per step —
     # 3x faster wall-clock than GD+k on this config; blockSize=2 batches
@@ -93,6 +93,7 @@ def main():
             "max_resnorm": max_res,
             "resnorm_tol": 1.5e-5 * anorm,
             "num_probe_rounds": int(res.stats.num_probe_rounds),
+            "num_probe_matvecs": int(res.stats.num_probe_matvecs),
             "n": n,
             "device": str(jax.devices()[0].platform),
         },

@@ -101,6 +101,10 @@ class Stats(NamedTuple):
     # verification latches. Surfaced so "verified" is never silently
     # conflated with "stopped checking".
     probe_exhausted: jax.Array
+    # matvecs consumed by verification probing (filter + power bounds +
+    # probe Davidson), INCLUDED in num_matvecs: subtract to compare the
+    # solve cost itself against an unverified run / the reference
+    num_probe_matvecs: jax.Array
 
     @staticmethod
     def zeros(rdt):
@@ -108,7 +112,7 @@ class Stats(NamedTuple):
         zr = jnp.zeros((), rdt)
         big = jnp.asarray(jnp.finfo(rdt).max, rdt)
         return Stats(z, z, z, z, z, z, z, z, zr, zr, zr,
-                     z, zr, zr, zr, big, -big, z, z, z)
+                     z, zr, zr, zr, big, -big, z, z, z, z)
 
 
 class ProbeResult(NamedTuple):
@@ -116,6 +120,11 @@ class ProbeResult(NamedTuple):
     X: jax.Array           # [n, blk] probe Ritz block (inject when found)
     num_matvecs: jax.Array
     num_preconds: jax.Array
+    # filter sanity: the Chebyshev-filtered start actually landed in the
+    # amplified band (Rayleigh-quotient check). An invalid round — bad
+    # spectral-range estimates made the filter amplify the wrong end —
+    # must NOT count as a clean verification round.
+    valid: jax.Array
 
 
 class SolverState(NamedTuple):
@@ -648,7 +657,38 @@ def _kth_best_key(cfg: SolveConfig, s: SolverState, win: Window, shifts):
 # Each iteration costs blk matvecs (+ blk preconds); the Chebyshev-filtered
 # start usually dips within the first few iterations when a member is
 # missing, so the budget is a tail guard, not the expected cost.
-_PROBE_ITERS = 24
+_PROBE_ITERS = 40
+
+# Power iterations for the filter-band spectral bounds. The solver's own
+# est_min/max_eval track only the Ritz values it has SEEN — measured on
+# the 64^3 Laplacian bench the solve finishes with est_max 8.77 while the
+# true lambda_max is 11.99, so a filter band built on the estimate
+# amplifies the unseen top of the spectrum (Chebyshev grows on BOTH sides
+# of the window) and the probe starts ~3 decades above the bar: a false
+# CLEAN. A short power iteration bounds the extreme to a few percent
+# (x1.15 cushion covers the rest) for ~12 matvecs per probe round.
+_POW_ITERS = 12
+
+
+def _power_extreme(A, key, n, dtype, shift=None):
+    """~lambda_max(A) (or of shift*I - A when ``shift`` is given) by
+    ``_POW_ITERS`` power iterations; returns the last norm growth — an
+    underestimate converging geometrically, cushioned by the caller."""
+    rdt = real_dtype(dtype)
+    v = _rand_block(key, n, 1, dtype)
+    v = v / jnp.maximum(jnp.linalg.norm(v), jnp.finfo(rdt).tiny)
+
+    def body(i, carry):
+        v, _ = carry
+        w = _mv(A, v)
+        if shift is not None:
+            w = shift.astype(dtype) * v - w
+        nw = jnp.linalg.norm(w).real.astype(rdt)
+        return w / jnp.maximum(nw, jnp.finfo(rdt).tiny), nw
+
+    _, nrm = jax.lax.fori_loop(0, _POW_ITERS, body,
+                               (v, jnp.zeros((), rdt)))
+    return nrm
 
 
 def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
@@ -669,7 +709,12 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     from ..operators import apply_precond
 
     n, blk = cfg.n, cfg.blk
-    pw = min(max(3 * blk, 8), 32)
+    # probe basis width: measured on the 64^3 bench's missing-cluster
+    # scenario (member 2.3e-3 below the bar), pw=8 stalls above the bar
+    # on 2/3 seeds even at 48 iterations while pw=32 dips by it 16-31 —
+    # the [n, pw] probe basis is cheap (pw*n*4B), so width is the right
+    # knob, not iterations
+    pw = min(max(3 * blk, 32), 48)
     has_B = B is not None
     cdt = win.cands.X.dtype
     rdt = real_dtype(cdt)
@@ -686,17 +731,35 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
 
     # --- start block: Chebyshev-filtered random --------------------------
     key, kf = jax.random.split(key)
+    valid0 = jnp.ones((), jnp.bool_)
     if has_B:
         Z0, mv0 = _rand_block(kf, n, blk, cdt), z
     else:
         emin, emax = s.stats.est_min_eval, s.stats.est_max_eval
-        span = jnp.maximum(emax - emin,
+        # the tracked estimates only cover Ritz values the solve has SEEN;
+        # bound the far end of the spectrum independently (power
+        # iteration + 15% cushion) so the suppression window provably
+        # covers it — an uncovered tail is AMPLIFIED by the filter and
+        # the probe starts on the wrong end of the spectrum (measured:
+        # est_max 8.77 vs true 11.99 on the 64^3 bench -> false clean)
+        key, kp1, kp2 = jax.random.split(key, 3)
+        pmax = _power_extreme(A, kp1, n, cdt)
+        emax_eff = jnp.maximum(emax, 1.15 * pmax)
+        mvb = _i32(_POW_ITERS)
+        if cfg.target == Target.smallest:
+            emin_eff = emin
+        else:
+            # lower bound for emin via power iteration on (c I - A)
+            pneg = _power_extreme(A, kp2, n, cdt, shift=emax_eff)
+            emin_eff = jnp.minimum(emin, emax_eff - 1.15 * pneg)
+            mvb = _i32(2 * _POW_ITERS)
+        span = jnp.maximum(emax_eff - emin_eff,
                            jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
         cut = jnp.maximum(8.0 * margin.astype(rdt), 5e-3 * span)
         if cfg.target == Target.smallest:
-            s_lo, s_hi = bar + cut, emax + 0.25 * span
+            s_lo, s_hi = bar + cut, emax_eff
         else:
-            s_lo, s_hi = emin - 0.25 * span, (-bar) - cut
+            s_lo, s_hi = emin_eff, (-bar) - cut
         # degree sized so the band amplification beats the sqrt(n)-strong
         # suppressed bulk: d >= ln(4 sqrt(n)) / acosh(1 + 2 cut / width)
         width = jnp.maximum(s_hi - s_lo, jnp.asarray(1e-30, rdt))
@@ -704,12 +767,32 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         need = float(math.log(4.0 * math.sqrt(n)))
         deg = jnp.clip((need / jnp.maximum(ac, 1e-6)).astype(jnp.int32) + 1,
                        8, 512)
-        okf = (emax > emin) & (s_hi > s_lo)
+        okf = (emax_eff > emin_eff) & (s_hi > s_lo)
         Z0 = jax.lax.cond(
             okf,
             lambda k: _filtered_rand_block(cfg, A, k, cdt, s_lo, s_hi, deg),
             lambda k: _rand_block(k, n, blk, cdt), kf)
-        mv0 = jnp.where(okf, _i32(blk) * deg, z)
+        mv0 = jnp.where(okf, _i32(blk) * deg + mvb, mvb)
+        # filter sanity: the start must actually live in the amplified
+        # band — its Rayleigh quotient below (above, for largest) the
+        # suppression window. A round whose filter failed (spectral
+        # bounds still wrong) must not count as verification evidence.
+        nz2 = jnp.real(jnp.sum(Z0.conj() * Z0, axis=0))
+        AZ0 = _mv(A, Z0)
+        rq = jnp.real(jnp.sum(Z0.conj() * AZ0, axis=0)) / jnp.maximum(
+            nz2, jnp.finfo(rdt).tiny)
+        mv0 = _i32(mv0 + blk)
+        # a healthy filtered start sits near the amplified band (its RQ
+        # can legitimately exceed s_lo a little — residual suppressed
+        # mass); the failure mode guarded here is a WRONG band, where
+        # the start lands deep inside the suppression window (measured:
+        # RQ 11.9 vs s_lo 0.09 when est_max missed the true spectrum top)
+        qtr = 0.25 * (s_hi - s_lo)
+        if cfg.target == Target.smallest:
+            valid0 = jnp.min(rq) < s_lo + qtr
+        else:
+            valid0 = jnp.max(rq) > s_hi - qtr
+        valid0 = valid0 | ~okf     # unfiltered random rounds stay valid
 
     P0 = jnp.zeros((n, pw), cdt)
     WP0 = jnp.zeros((n, pw), cdt)
@@ -768,6 +851,10 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # also collapse, leaving zero columns whose Ritz value is 0
         xb0 = jnp.real(jnp.linalg.norm(Xb[:, 0]))
         found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin)
+        import os as _os
+        if _os.environ.get("PTPU_PROBE_DEBUG"):
+            jax.debug.print("probe t={t} key0={k:.6f} bar={b:.6f} w={w}",
+                            t=t, k=keys[0], b=bar, w=w)
         lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
         Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
         if K is not None:
@@ -781,7 +868,8 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
              jnp.zeros((n, blk), cdt), Z0, key, mv0, z)
     carry = jax.lax.while_loop(cond, step, carry)
     (_, _, _, _, _, found, Xb, _, _, mv, npc) = carry
-    return ProbeResult(found=found, X=Xb, num_matvecs=mv, num_preconds=npc)
+    return ProbeResult(found=found, X=Xb, num_matvecs=mv, num_preconds=npc,
+                       valid=valid0)
 
 
 def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
@@ -1578,13 +1666,21 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                                      newkth, margin, kp)
                 stats = s.stats._replace(
                     num_matvecs=_i32(s.stats.num_matvecs + pr.num_matvecs),
+                    num_probe_matvecs=_i32(s.stats.num_probe_matvecs
+                                           + pr.num_matvecs),
                     num_preconds=_i32(s.stats.num_preconds
                                       + pr.num_preconds),
                     num_probe_rounds=_i32(s.stats.num_probe_rounds + 1))
                 # two consecutive clean rounds (independent injections)
-                # are required before the set counts as verified
-                clean2 = jnp.where(pr.found, 0, s.probe_clean + 1)
-                now_verified = (~pr.found) & (clean2 >= 2)
+                # are required before the set counts as verified; a round
+                # whose Chebyshev filter demonstrably failed (pr.valid
+                # False — spectral bounds wrong) is INCONCLUSIVE: it
+                # neither finds nor counts as clean, and repeated filter
+                # failure surfaces as probe_exhausted at the round cap
+                clean2 = jnp.where(pr.found, 0,
+                                   jnp.where(pr.valid, s.probe_clean + 1,
+                                             s.probe_clean))
+                now_verified = (~pr.found) & pr.valid & (clean2 >= 2)
                 # a genuinely clean verification supersedes an earlier
                 # cap exhaustion (set reopened and then verified)
                 stats = stats._replace(probe_exhausted=_i32(

@@ -181,7 +181,7 @@ def build_params(cfg: TestConfig, n: int) -> PrimmeParams:
 
 # extra matvec budget granted for the spectrum-verification probe rounds
 # (the reference's budgets predate this capability; see core/solver.py)
-_PROBE_ALLOWANCE = 2000
+_PROBE_ALLOWANCE = 4000
 
 
 class CheckResult:
