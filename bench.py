@@ -36,12 +36,14 @@ def main():
     n = nx * ny * nz
     A = Stencil3DOperator(nx, ny, nz, dtype=jnp.float32)
     K = JacobiPrecond(A.diagonal())
-    # minRestartSize=16 > k: restarts keep all converged pairs plus room;
-    # mbs=26/mrs=16 measured best in the round-4 sweep (0.136 s / 1445 mv
-    # / 2 probe rounds vs 0.153 s at 24/14); max_matvecs covers the
-    # spectrum-verification probe rounds on top of the solve.
-    p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=26,
-                     max_block_size=2, min_restart_size=16,
+    # minRestartSize=14 > k: restarts keep all converged pairs plus room
+    # (~25% fewer matvecs than the block-aligned default of 9);
+    # re-swept under the round-4 SOUND probe: 24/14 0.204 s / 26/16
+    # 0.226 s / 24/16 0.230 s. max_matvecs covers the verification
+    # probe rounds on top of the solve (~530 mv here, see
+    # num_probe_matvecs in the output).
+    p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
+                     max_block_size=2, min_restart_size=14,
                      max_matvecs=16000, locking=0)
     # JDQMR_ETol: the QMR inner loop costs ~1 matvec + 2 dots per step —
     # 3x faster wall-clock than GD+k on this config; blockSize=2 batches
