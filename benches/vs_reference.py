@@ -59,18 +59,25 @@ def main():
         ("tridiag2k SA k10 jacobi", T, dict(k=10, which="SA", tol=1e-9,
                                             jacobi=True)),
     ]
-    print(f"{'case':26s} {'ref mv':>8s} {'ours mv':>8s} {'dEval':>9s}")
+    # "ours solve" excludes num_probe_matvecs — the spectrum-verification
+    # probe is a capability the reference does not have (it performs NO
+    # completeness check), so solve-vs-solve is the parity metric; the
+    # verification cost is shown separately (+probe) for honesty.
+    # verify_spectrum=0 reproduces the solve column alone.
+    print(f"{'case':26s} {'ref mv':>8s} {'ours solve':>10s} "
+          f"{'+probe':>7s} {'dEval':>9s}")
     for name, A, kw in eig_cases:
         vt, _, stt = pt.eigsh(A, return_stats=True,
                               raise_for_unconverged=False, **kw)
-        mt = stt["num_matvecs"]
+        pmv = stt.get("num_probe_matvecs", 0)
+        mt = stt["num_matvecs"] - pmv
         if ref is not None and "jacobi" not in kw:
             vr, _, str_ = ref.eigsh(A, return_stats=True, **kw)
             mr = str_["numMatvecs"]
             err = float(np.abs(np.sort(vr) - np.sort(vt)).max())
         else:
             mr, err = -1, float("nan")
-        print(f"{name:26s} {mr:8d} {mt:8d} {err:9.1e}")
+        print(f"{name:26s} {mr:8d} {mt:10d} {pmv:7d} {err:9.1e}")
 
     B = sp.csr_matrix(sio.mmread("/root/reference/tests/lund_b.mtx"))
     svd_cases = [
@@ -80,15 +87,17 @@ def main():
     for name, A, kw in svd_cases:
         _, st_, _, stats = pt.svds(A, return_stats=True,
                                    raise_for_unconverged=False, **kw)
-        mt = stats.get("stage1_num_matvecs", 0) + stats.get(
-            "stage2_num_matvecs", 0)
+        pmv = (stats.get("stage1_num_probe_matvecs", 0)
+               + stats.get("stage2_num_probe_matvecs", 0))
+        mt = (stats.get("stage1_num_matvecs", 0)
+              + stats.get("stage2_num_matvecs", 0) - pmv)
         if ref is not None:
             _, sr, _, str_ = ref.svds(A, return_stats=True, **kw)
             mr = str_["numMatvecs"]
             err = float(np.abs(np.sort(sr) - np.sort(st_)).max())
         else:
             mr, err = -1, float("nan")
-        print(f"{name:26s} {mr:8d} {mt:8d} {err:9.1e}")
+        print(f"{name:26s} {mr:8d} {mt:10d} {pmv:7d} {err:9.1e}")
 
 
 if __name__ == "__main__":
