@@ -851,10 +851,6 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # also collapse, leaving zero columns whose Ritz value is 0
         xb0 = jnp.real(jnp.linalg.norm(Xb[:, 0]))
         found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin)
-        import os as _os
-        if _os.environ.get("PTPU_PROBE_DEBUG"):
-            jax.debug.print("probe t={t} key0={k:.6f} bar={b:.6f} w={w}",
-                            t=t, k=keys[0], b=bar, w=w)
         lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
         Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
         if K is not None:
