@@ -721,9 +721,6 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
     z = jnp.zeros((), jnp.int32)
 
-    pmask = win.passes.astype(cdt)[None, :]
-    Xc = win.cands.X * pmask
-    BXc = win.cands.BX * pmask if has_B else Xc
     has_locked = cfg.noc > 0 or cfg.locking
     locked = ((s.evecs, s.Bevecs if has_B else s.evecs)
               if has_locked else None)
@@ -782,28 +779,43 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         rq = jnp.real(jnp.sum(Z0.conj() * AZ0, axis=0)) / jnp.maximum(
             nz2, jnp.finfo(rdt).tiny)
         mv0 = _i32(mv0 + blk)
-        # a healthy filtered start sits near the amplified band (its RQ
-        # can legitimately exceed s_lo a little — residual suppressed
-        # mass); the failure mode guarded here is a WRONG band, where
-        # the start lands deep inside the suppression window (measured:
-        # RQ 11.9 vs s_lo 0.09 when est_max missed the true spectrum top)
+        # Filter sanity: the ONLY invalid outcome is a start stuck on
+        # the far (forbidden) end of the window — that end should hold
+        # no spectrum at all, so weight there proves the bounds missed
+        # part of it (measured failure: RQ 11.9 vs s_hi 10.97 when
+        # est_max read 8.77 against a true lambda_max of 11.99). A start
+        # INSIDE the window is legitimate: at span exhaustion the whole
+        # amplified band is converged and deflated away, so the random
+        # block's surviving weight lies on suppressed directions — such
+        # a round finds nothing and that clean answer is CORRECT (the
+        # complement provably has no weight on the candidate side).
         qtr = 0.25 * (s_hi - s_lo)
         if cfg.target == Target.smallest:
-            valid0 = jnp.min(rq) < s_lo + qtr
+            valid0 = jnp.min(rq) < s_hi - qtr      # not pinned at the top
         else:
-            valid0 = jnp.max(rq) > s_hi - qtr
+            valid0 = jnp.max(rq) > s_lo + qtr      # not pinned at the bottom
         valid0 = valid0 | ~okf     # unfiltered random rounds stay valid
 
     P0 = jnp.zeros((n, pw), cdt)
     WP0 = jnp.zeros((n, pw), cdt)
     BP0 = jnp.zeros((n, pw), cdt) if has_B else jnp.zeros((n, 0), cdt)
 
+    # The probe's hazard class is directions OUTSIDE the solver's
+    # subspace (GD/JD corrections preserve the complement of span(V) for
+    # Hermitian A); anything inside span(V) is visible to the solver's
+    # own RR and is surfaced by the normal candidate machinery. Deflate
+    # against the WHOLE active basis (inactive columns are exactly zero,
+    # Xc ⊂ span(V)) plus locked — deflating only the passing window
+    # candidates leaves basis-resident directions that the probe then
+    # "finds" forever (measured: n=17/k=16 churned to the round cap
+    # re-finding a basis direction whose injection collapses).
+    BVd = s.BV if has_B else s.V
+
     def deflate(Z):
-        # one CGS pass: the converged Ritz vectors are orthonormal to
-        # residual accuracy, and probe detection only needs the deflated
-        # component to O(tol) — the found block is fully re-orthogonalized
-        # on injection (_append_probe_block)
-        return Z - bcomb(Xc, gram(BXc, Z))
+        # one CGS pass: V is 2-orthonormal and probe detection only
+        # needs the deflated component to O(tol) — the found block is
+        # fully re-orthogonalized on injection (_append_probe_block)
+        return Z - bcomb(s.V, gram(BVd, Z))
 
     def cond(carry):
         (_, _, _, _, t, found, *_rest) = carry
@@ -833,11 +845,32 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         ores = block_ortho(deflate(Z), (P, BP if has_B else P), locked,
                            _i32(blk), kk2, Bop=B, locked_count=lcount,
                            n_iters=1)
-        P = _dus(P, ores.X.astype(cdt), 0, w)
-        BP = _dus(BP, ores.BX.astype(cdt), 0, w) if has_B else BP
-        Y = _mv(A, ores.X)
+        # Count only columns CERTIFIED to live in the complement of
+        # span(V) ∪ locked, compacted to the front. block_ortho's
+        # replacement loop knows nothing about V: at span exhaustion it
+        # emits unit-norm NUMERICAL-NOISE vectors (a random vector
+        # orthogonalized against a spanning set leaves ~eps residual,
+        # which normalization amplifies to norm 1) whose junk Ritz
+        # values can sort under the bar (measured: n=17/k=16 churned to
+        # the round cap on exactly these). Re-deflating certifies: a
+        # genuine complement direction keeps norm ~1, noise re-deflates
+        # to ~eps.
+        cert = ores.X - bcomb(s.V, gram(BVd, ores.X))
+        if has_locked:
+            cert = la.prefix_project(
+                s.Bevecs if has_B else s.evecs, s.evecs, cert, lcount)
+        cn2p = jnp.real(jnp.sum(cert.conj() * cert, axis=0))
+        srtp = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
+                           + _BIG * (cn2p < 0.25).astype(jnp.int32))
+        srvp = _i32(jnp.sum((cn2p >= 0.25).astype(jnp.int32)))
+        keepp = (jnp.arange(blk) < srvp).astype(cdt)[None, :]
+        Xs = ores.X[:, srtp] * keepp
+        BXs = ores.BX[:, srtp] * keepp if has_B else Xs
+        P = _dus(P, Xs.astype(cdt), 0, w)
+        BP = _dus(BP, BXs.astype(cdt), 0, w) if has_B else BP
+        Y = _mv(A, Xs)
         WP = _dus(WP, Y.astype(cdt), 0, w)
-        w = _i32(w + blk)
+        w = _i32(w + srvp)
         mv = _i32(mv + blk)
         Hp = gram(P, WP)
         Hp = 0.5 * (Hp + _herm(Hp))
@@ -850,7 +883,16 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # pair — at span exhaustion block_ortho's random replacement can
         # also collapse, leaving zero columns whose Ritz value is 0
         xb0 = jnp.real(jnp.linalg.norm(Xb[:, 0]))
-        found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin)
+        # a found pair must actually live in the deflated complement:
+        # block_ortho's random-replacement columns (span exhaustion) are
+        # orthogonalized against P and locked but NOT against the basis,
+        # so their Ritz values can sort spuriously under the bar — the
+        # overlap certificate rejects any candidate carrying basis
+        # weight (a true missing member is deflated and passes at
+        # O(tol))
+        ov = jnp.linalg.norm(gram(BVd, Xb[:, :1]))
+        found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin) \
+            & (ov < 0.25 * jnp.maximum(xb0, 1e-30))
         lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
         Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
         if K is not None:
@@ -858,7 +900,11 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             npc = _i32(npc + blk)
         else:
             Z2 = Rb
-        return (P, WP, BP, w, t + 1, found | found2, Xb, Z2, key, mv, npc)
+        # srvp == 0 means even the random replacements collapsed — the
+        # complement of P ∪ locked ∪ V is (numerically) empty, no further
+        # iteration can find anything: exit the round early
+        t_next = jnp.where(srvp == 0, _i32(_PROBE_ITERS), _i32(t + 1))
+        return (P, WP, BP, w, t_next, found | found2, Xb, Z2, key, mv, npc)
 
     carry = (P0, WP0, BP0, z, z, jnp.zeros((), jnp.bool_),
              jnp.zeros((n, blk), cdt), Z0, key, mv0, z)

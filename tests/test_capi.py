@@ -25,8 +25,13 @@ def test_capi_end_to_end():
     r = subprocess.run(["make", "-C", NATIVE, "libprimme_tpu_capi.so",
                         "test_capi"], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
+    # the embedded interpreter initializes from the SYSTEM libpython and
+    # does not inherit this process's virtualenv — pass the running
+    # interpreter's site-packages explicitly so jax/numpy resolve
+    purelib = sysconfig.get_paths()["purelib"]
     env = dict(os.environ,
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, purelib, os.environ.get("PYTHONPATH", "")]),
                JAX_PLATFORMS="cpu")
     # the embedded interpreter must not inherit a TPU platform pin
     env.pop("XLA_FLAGS", None)
