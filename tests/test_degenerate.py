@@ -159,3 +159,27 @@ def test_probe_exhaustion_is_flagged():
     _, _, st = eigsh(A, k=3, which="SA", tol=1e-9, verify_spectrum=1,
                      raise_for_unconverged=False, return_stats=True)
     assert st["probe_exhausted"] == 1
+
+
+def test_probe_span_exhaustion_clean():
+    """Whole-space asks (k ~ n): the deflated complement is (nearly)
+    empty, so probe rounds must conclude CLEAN quickly — not churn
+    re-finding basis-resident directions or counting block_ortho's
+    numerical-noise replacement vectors as pairs (round-4 regression:
+    n=17/k=16 returned NaN/garbage after 22 churned rounds; now 2 clean
+    rounds and a two-digit matvec count)."""
+    from primme_tpu import eigsh
+
+    rng = np.random.default_rng(1716)
+    A = rng.normal(size=(17, 17))
+    A = (A + A.T) / 2
+    ref = np.sort(np.linalg.eigvalsh(A))
+    for which in ("LA", "SA"):
+        vals, _, st = eigsh(A, k=16, which=which, tol=1e-10,
+                            raise_for_unconverged=False, return_stats=True)
+        exp = ref[:16] if which == "SA" else ref[-16:]
+        assert np.isfinite(vals).all(), vals
+        assert np.abs(np.sort(vals) - exp).max() < 1e-9, which
+        assert int(st["probe_exhausted"]) == 0
+        assert int(st["num_probe_rounds"]) <= 3
+        assert int(st["num_matvecs"]) < 600, st["num_matvecs"]
