@@ -194,12 +194,17 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             # matvecs where the reference's augmented stage-2 grind spends
             # 162k and returns 2/4.)
             # Depth choice measured on the reference corpus (round 4):
-            # lund_b SM k5 7e-12 total matvecs 161,569 (mbs 64) ->
-            # 50,974 (mbs 96, 3.1x under the reference's 157,589);
-            # rect SM k4 1e-12: 113,544 -> 104,491 (mbs 128 regresses
-            # rect to 145,928 — 96 is the robust point).
+            # for SMALL problems a deep basis is a near-direct solve —
+            # lund_b (nn=147) SM k5 7e-12 drops from 161,569 total
+            # matvecs (mbs 64) to ~20k (mbs 96, 7x under the
+            # reference's ~140-157k). At larger nn the deeper basis is
+            # NOT safe: rect.mtx (nn=1000) SM k5 7e-12 with mbs 96
+            # returns only 1 of the 4 near-null 1e-9 singular values
+            # (err 2.8e-3) where mbs 64 finds all four to 1.6e-15 —
+            # the deep default is therefore bounded to nn <= 512.
             if not ncv:
-                p1 = p1.with_(max_basis_size=min(nn, 96))
+                p1 = p1.with_(max_basis_size=min(nn, 96 if nn <= 512
+                                                 else 64))
             if not maxBlockSize:
                 p1 = p1.with_(max_block_size=max(1, min(4, k)))
         meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
