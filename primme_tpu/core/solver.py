@@ -657,7 +657,7 @@ def _kth_best_key(cfg: SolveConfig, s: SolverState, win: Window, shifts):
 # Each iteration costs blk matvecs (+ blk preconds); the Chebyshev-filtered
 # start usually dips within the first few iterations when a member is
 # missing, so the budget is a tail guard, not the expected cost.
-_PROBE_ITERS = 40
+_PROBE_ITERS = 32
 
 # Power iterations for the filter-band spectral bounds. The solver's own
 # est_min/max_eval track only the Ritz values it has SEEN — measured on
@@ -752,7 +752,15 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             mvb = _i32(2 * _POW_ITERS)
         span = jnp.maximum(emax_eff - emin_eff,
                            jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
-        cut = jnp.maximum(8.0 * margin.astype(rdt), 5e-3 * span)
+        # Sharpness beats iterations (measured on the 64^3 planted
+        # missing-member scenario): cut = 5e-3*span (deg ~54) leaves
+        # ~200 above-bar modes amplified and the Davidson misses the
+        # member on 2/5 seeds at 40 its; cut = 1e-3*span (deg ~121)
+        # shrinks the amplified band to the bar's neighborhood and
+        # detection fires within 2-22 iterations on 5/5 seeds — a
+        # cheaper round (fewer small-eigh Davidson steps) AND a sounder
+        # one. Degree stays bounded: ~ln(4*sqrt(n))/acosh(1+2e-3).
+        cut = jnp.maximum(8.0 * margin.astype(rdt), 1e-3 * span)
         if cfg.target == Target.smallest:
             s_lo, s_hi = bar + cut, emax_eff
         else:
@@ -795,6 +803,9 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         else:
             valid0 = jnp.max(rq) > s_lo + qtr      # not pinned at the bottom
         valid0 = valid0 | ~okf     # unfiltered random rounds stay valid
+        # a non-finite filtered start (overflow/NaN anywhere in the
+        # chain) can never certify anything — the round is inconclusive
+        valid0 = valid0 & jnp.all(jnp.isfinite(Z0))
 
     P0 = jnp.zeros((n, pw), cdt)
     WP0 = jnp.zeros((n, pw), cdt)
@@ -842,7 +853,44 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         P, WP, BP, w = jax.lax.cond(w + blk > pw, compress,
                                     lambda a: a, (P, WP, BP, w))
         key, kk2 = jax.random.split(key)
-        ores = block_ortho(deflate(Z), (P, BP if has_B else P), locked,
+        # Renormalize after deflation: the one-sided Chebyshev amplifies
+        # the FAR end of the band most (exponentially in degree), so the
+        # filtered start is dominated by already-converged extreme
+        # directions and the missing member survives deflation at only
+        # ~amp-ratio norm (measured 0.4% on the 12^3 planted case) —
+        # small enough for block_ortho's collapse logic to replace it
+        # with randomness. Restoring unit scale first keeps the member
+        # direction; genuinely-dead columns stay ~0 and fail the
+        # complement certification below.
+        Zd = deflate(Z)
+        floor = jnp.asarray(jnp.finfo(real_dtype(cdt)).tiny * 1e10,
+                            real_dtype(cdt))
+
+        def _renorm(Y):
+            yn = jnp.sqrt(jnp.maximum(
+                jnp.real(jnp.sum(Y.conj() * Y, axis=0)), 0.0))
+            return jnp.where((yn > floor)[None, :],
+                             Y / jnp.maximum(yn, floor)[None, :], 0.0)
+
+        Zd = _renorm(Zd)
+        # The deflated columns are often nearly PARALLEL (the filter
+        # amplifies the band's far end hardest, so after deflation every
+        # column is dominated by the same strongest surviving
+        # direction); a unit-norm parallel pair defeats CholeskyQR's
+        # small-diagonal dead-column guard and NaNs the factor. One
+        # in-block CGS pass first: duplicates collapse to ~0 columns,
+        # which downstream certification drops cleanly.
+        cols = []
+        for j in range(blk):
+            zj = Zd[:, j:j + 1]
+            for zi in cols:
+                zj = zj - zi * jnp.sum(zi.conj() * zj)
+            zjn = jnp.sqrt(jnp.maximum(
+                jnp.real(jnp.sum(zj.conj() * zj)), 0.0))
+            cols.append(jnp.where(zjn > 1e-4, zj / jnp.maximum(
+                zjn, floor), 0.0))
+        Zd = jnp.concatenate(cols, axis=1)
+        ores = block_ortho(Zd, (P, BP if has_B else P), locked,
                            _i32(blk), kk2, Bop=B, locked_count=lcount,
                            n_iters=1)
         # Count only columns CERTIFIED to live in the complement of
@@ -861,11 +909,13 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
                 s.Bevecs if has_B else s.evecs, s.evecs, cert, lcount)
         cn2p = jnp.real(jnp.sum(cert.conj() * cert, axis=0))
         srtp = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
-                           + _BIG * (cn2p < 0.25).astype(jnp.int32))
+                           + _BIG * ~(cn2p >= 0.25))   # NaN -> dropped
         srvp = _i32(jnp.sum((cn2p >= 0.25).astype(jnp.int32)))
-        keepp = (jnp.arange(blk) < srvp).astype(cdt)[None, :]
-        Xs = ores.X[:, srtp] * keepp
-        BXs = ores.BX[:, srtp] * keepp if has_B else Xs
+        keepp = (jnp.arange(blk) < srvp)[None, :]
+        # where(), not multiply: a NaN column (singular Cholesky inside
+        # block_ortho at span exhaustion) times 0 is still NaN
+        Xs = jnp.where(keepp, ores.X[:, srtp], 0)
+        BXs = jnp.where(keepp, ores.BX[:, srtp], 0) if has_B else Xs
         P = _dus(P, Xs.astype(cdt), 0, w)
         BP = _dus(BP, BXs.astype(cdt), 0, w) if has_B else BP
         Y = _mv(A, Xs)
