@@ -31,6 +31,7 @@ via the ``inner_solve`` hook (see ``core/inner.py``).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -125,6 +126,12 @@ class ProbeResult(NamedTuple):
     # spectral-range estimates made the filter amplify the wrong end —
     # must NOT count as a clean verification round.
     valid: jax.Array
+    # spectral bounds used this round, handed back so run_segment can
+    # cache them in SolverState (round-invariant: power iterations run
+    # on the first round only)
+    bnd_hi: jax.Array
+    bnd_lo: jax.Array
+    bnds_set: jax.Array    # bool: bnd_hi/lo are live (non-B path only)
 
 
 class SolverState(NamedTuple):
@@ -169,6 +176,15 @@ class SolverState(NamedTuple):
     # two consecutive clean rounds with independent randomness.
     probe_ref: jax.Array         # real: ne-th best target key last verified
     probe_clean: jax.Array       # int32: consecutive rounds finding nothing
+    # Round-invariant spectral bounds for the probe's Chebyshev filter
+    # (upper bound on lambda_max / lower bound on lambda_min from
+    # independent power iterations). The spectrum of A cannot change
+    # between probe rounds, so these are measured ONCE on the first
+    # round and carried here — every later round reuses them for zero
+    # matvecs (they previously cost 12-24 matvecs per round).
+    probe_bnd_hi: jax.Array      # real: cached upper bound on lambda_max
+    probe_bnd_lo: jax.Array      # real: cached lower bound on lambda_min
+    probe_bnds_set: jax.Array    # bool: bounds above are live
     verified: jax.Array          # bool: returned set survived probing
     give_up: jax.Array           # bool: stagnation bail-out (honest exit)
     # Per-inner-iteration event buffer (cfg.inner_trace_cap > 0):
@@ -222,9 +238,18 @@ def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
     combined weight, so a missing member appears as its own Ritz value
     within an iteration or two. Uses the solver's own tracked spectral
     range (stats.estimateMin/MaxEVal) for the band. ``degree`` is traced
-    (sized so the band amplification beats the sqrt(n) bulk); costs
-    ``degree`` matvecs per column (counted)."""
-    X = _rand_block(key, cfg.n, cfg.blk, dtype)
+    (sized so the band amplification beats the sqrt(n) bulk).
+
+    The ``blk`` start columns are the last ``blk`` iterates of ONE
+    Chebyshev recurrence on a single random vector (T_{d-blk+1}x ..
+    T_d x) — a filtered Krylov block — rather than ``blk``
+    independently filtered columns: every iterate carries the amplified
+    missing-member component, the spanned subspace is what the probe
+    Davidson consumes, and the cost drops from ``blk*degree`` to
+    ``degree`` matvecs (measured equal detection power on the planted-
+    member suite). Costs ``degree`` matvecs total (counted by caller)."""
+    n, blk = cfg.n, cfg.blk
+    x = _rand_block(key, n, 1, dtype)
     rdt = real_dtype(dtype)
     ctr = ((suppress_hi + suppress_lo) / 2).astype(rdt)
     hw = ((suppress_hi - suppress_lo) / 2).astype(rdt)
@@ -233,18 +258,50 @@ def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
     def t_apply(Y):
         return (_mv(A, Y) - ctr * Y) / hw
 
-    y1 = t_apply(X)
+    y1 = t_apply(x)
+
+    def rescale(y0, y1):
+        sc = (1.0 / jnp.maximum(jnp.max(jnp.abs(y1)),
+                                jnp.asarray(1e-30, rdt))).astype(dtype)
+        return y0 * sc, y1 * sc
+
+    # Main recurrence: plain 3-term steps. The overflow-guard rescale
+    # (a full-array reduction + two scalings) runs every 8th step only —
+    # per-step it would triple the loop's memory traffic and dominate
+    # the probe's wall time (the Chebyshev growth rate the degree
+    # formula targets is e^{ln(4 sqrt n)/deg} per step, so 8 unguarded
+    # steps cannot overflow even with badly wrong band bounds).
+    tail = blk - 1
+    steps_main = jnp.maximum(degree - 1 - tail, 0)
 
     def body(i, carry):
         y0, y1 = carry
         y2 = 2.0 * t_apply(y1) - y0
-        sc = 1.0 / jnp.maximum(jnp.max(jnp.abs(y2)),
-                               jnp.asarray(1e-30, rdt))
-        sc = sc.astype(dtype)
-        return (y1 * sc, y2 * sc)
+        return jax.lax.cond((i & 7) == 7, rescale,
+                            lambda a, b: (a, b), y1, y2)
 
-    _, yd = jax.lax.fori_loop(0, degree - 1, body, (X, y1))
-    return yd
+    y0, y1 = jax.lax.fori_loop(0, steps_main, body, (x, y1))
+
+    if blk == 1:
+        _, yd = rescale(y0, y1)
+        return yd
+
+    # Tail: the last blk-1 steps additionally collect each iterate into
+    # the start-block buffer (rescaled together so column magnitudes
+    # stay comparable).
+    y0, y1 = rescale(y0, y1)
+    buf0 = jnp.concatenate([jnp.zeros((n, blk - 1), dtype), y1], axis=1)
+
+    def body_tail(i, carry):
+        y0, y1, buf = carry
+        y2 = 2.0 * t_apply(y1) - y0
+        sc = (1.0 / jnp.maximum(jnp.max(jnp.abs(y2)),
+                                jnp.asarray(1e-30, rdt))).astype(dtype)
+        buf = jnp.concatenate([buf[:, 1:] * sc, y2 * sc], axis=1)
+        return (y1 * sc, y2 * sc, buf)
+
+    _, _, buf = jax.lax.fori_loop(0, tail, body_tail, (y0, y1, buf0))
+    return buf
 
 
 class SolveConfig(NamedTuple):
@@ -657,7 +714,7 @@ def _kth_best_key(cfg: SolveConfig, s: SolverState, win: Window, shifts):
 # Each iteration costs blk matvecs (+ blk preconds); the Chebyshev-filtered
 # start usually dips within the first few iterations when a member is
 # missing, so the budget is a tail guard, not the expected cost.
-_PROBE_ITERS = 32
+_PROBE_ITERS = int(os.environ.get("PTPU_PROBE_ITERS", "32"))
 
 # Power iterations for the filter-band spectral bounds. The solver's own
 # est_min/max_eval track only the Ritz values it has SEEN — measured on
@@ -729,6 +786,8 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     # --- start block: Chebyshev-filtered random --------------------------
     key, kf = jax.random.split(key)
     valid0 = jnp.ones((), jnp.bool_)
+    bnd_hi, bnd_lo = s.probe_bnd_hi, s.probe_bnd_lo
+    bnds_set = s.probe_bnds_set
     if has_B:
         Z0, mv0 = _rand_block(kf, n, blk, cdt), z
     else:
@@ -738,18 +797,26 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # iteration + 15% cushion) so the suppression window provably
         # covers it — an uncovered tail is AMPLIFIED by the filter and
         # the probe starts on the wrong end of the spectrum (measured:
-        # est_max 8.77 vs true 11.99 on the 64^3 bench -> false clean)
+        # est_max 8.77 vs true 11.99 on the 64^3 bench -> false clean).
+        # The bounds are ROUND-INVARIANT: power iterations run only when
+        # SolverState carries no cached bounds (first probe round).
         key, kp1, kp2 = jax.random.split(key, 3)
-        pmax = _power_extreme(A, kp1, n, cdt)
-        emax_eff = jnp.maximum(emax, 1.15 * pmax)
-        mvb = _i32(_POW_ITERS)
-        if cfg.target == Target.smallest:
-            emin_eff = emin
-        else:
+
+        def fresh_bounds(_):
+            pmax = _power_extreme(A, kp1, n, cdt)
+            hi = jnp.maximum(emax, 1.15 * pmax).astype(rdt)
+            if cfg.target == Target.smallest:
+                return hi, jnp.asarray(-jnp.inf, rdt), _i32(_POW_ITERS)
             # lower bound for emin via power iteration on (c I - A)
-            pneg = _power_extreme(A, kp2, n, cdt, shift=emax_eff)
-            emin_eff = jnp.minimum(emin, emax_eff - 1.15 * pneg)
-            mvb = _i32(2 * _POW_ITERS)
+            pneg = _power_extreme(A, kp2, n, cdt, shift=hi)
+            return hi, (hi - 1.15 * pneg).astype(rdt), _i32(2 * _POW_ITERS)
+
+        bnd_hi, bnd_lo, mvb = jax.lax.cond(
+            bnds_set, lambda _: (bnd_hi, bnd_lo, z), fresh_bounds, 0)
+        bnds_set = jnp.ones((), jnp.bool_)
+        emax_eff = jnp.maximum(emax, bnd_hi)
+        emin_eff = (emin if cfg.target == Target.smallest
+                    else jnp.minimum(emin, bnd_lo))
         span = jnp.maximum(emax_eff - emin_eff,
                            jnp.asarray(jnp.finfo(rdt).tiny * 1e8, rdt))
         # Sharpness beats iterations (measured on the 64^3 planted
@@ -777,7 +844,7 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             okf,
             lambda k: _filtered_rand_block(cfg, A, k, cdt, s_lo, s_hi, deg),
             lambda k: _rand_block(k, n, blk, cdt), kf)
-        mv0 = jnp.where(okf, _i32(blk) * deg + mvb, mvb)
+        mv0 = jnp.where(okf, deg + mvb, mvb)
         # filter sanity: the start must actually live in the amplified
         # band — its Rayleigh quotient below (above, for largest) the
         # suppression window. A round whose filter failed (spectral
@@ -833,7 +900,7 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         return (t < _PROBE_ITERS) & ~found
 
     def step(carry):
-        P, WP, BP, w, t, found, Xb, Z, key, mv, npc = carry
+        P, WP, BP, w, t, found, Xb, Z, key, mv, npc, prev_key, stall = carry
 
         def compress(args):
             P, WP, BP, w = args
@@ -933,16 +1000,52 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # pair — at span exhaustion block_ortho's random replacement can
         # also collapse, leaving zero columns whose Ritz value is 0
         xb0 = jnp.real(jnp.linalg.norm(Xb[:, 0]))
-        # a found pair must actually live in the deflated complement:
-        # block_ortho's random-replacement columns (span exhaustion) are
-        # orthogonalized against P and locked but NOT against the basis,
-        # so their Ritz values can sort spuriously under the bar — the
-        # overlap certificate rejects any candidate carrying basis
-        # weight (a true missing member is deflated and passes at
-        # O(tol))
-        ov = jnp.linalg.norm(gram(BVd, Xb[:, :1]))
-        found2 = sol.active[0] & (xb0 > 0.5) & (keys[0] < bar - margin) \
-            & (ov < 0.25 * jnp.maximum(xb0, 1e-30))
+        # Sound existence certificate. The candidate's own Ritz value is
+        # NOT a bound on the deflated extreme: probe columns may carry
+        # basis contamination (block_ortho knows nothing about V, and
+        # certification above only requires >=0.5 complement norm), and
+        # the cross term with a far-end converged eigenvalue biases the
+        # Rayleigh quotient past the bar. Measured: mhd1280b-LA holds
+        # 70.3 in the basis while the bar is 12.738 and the true
+        # complement top is 12.248 — contaminated candidates read
+        # RQ > bar and the probe "found" a nonexistent member for 11
+        # straight rounds (round-4 false-positive churn). Certify on the
+        # DEFLATED candidate instead: two CGS passes against span(V)
+        # (+ locked) leave x̃ in the complement to O(eps), so RQ(x̃)
+        # genuinely bounds the complement extreme. A true missing member
+        # is already deflated (xdn ~ xb0) and passes unchanged. Costs
+        # one extra matvec per probe iteration.
+        pre_found = (sol.active[0] & (xb0 > 0.5)
+                     & (keys[0] < bar - margin))
+
+        def certify(_):
+            xd = Xb[:, :1]
+            for _i in range(2):
+                xd = xd - bcomb(s.V, gram(BVd, xd))
+                if has_locked:
+                    xd = la.prefix_project(
+                        s.Bevecs if has_B else s.evecs, s.evecs, xd,
+                        lcount)
+            xdn = jnp.sqrt(jnp.maximum(
+                jnp.real(jnp.sum(xd.conj() * xd)), 0.0))
+            xdu = jnp.where(xdn > floor, xd / jnp.maximum(xdn, floor), 0.0)
+            Axd = _mv(A, xdu)
+            tinyr = jnp.finfo(rdt).tiny
+            if has_B:
+                den = jnp.real(jnp.sum(xdu.conj() * B.matmat(xdu)))
+            else:
+                den = jnp.real(jnp.sum(xdu.conj() * xdu))
+            rqd = (jnp.real(jnp.sum(xdu.conj() * Axd))
+                   / jnp.maximum(den, tinyr))
+            ckey = target_sort_keys(rqd[None], cfg.target, shifts,
+                                    sidx).astype(rdt)[0]
+            return ((xdn > 0.5 * xb0) & (ckey < bar - margin), _i32(1))
+
+        cert_ok, cmv = jax.lax.cond(
+            pre_found, certify,
+            lambda _: (jnp.zeros((), jnp.bool_), _i32(0)), 0)
+        mv = _i32(mv + cmv)
+        found2 = pre_found & cert_ok
         lamb = jnp.where(jnp.isfinite(hb), hb, 0).astype(cdt)
         Rb = bcomb(WP, Cb) - (bcomb(BP, Cb) if has_B else Xb) * lamb[None, :]
         if K is not None:
@@ -950,18 +1053,44 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             npc = _i32(npc + blk)
         else:
             Z2 = Rb
+        # Slow-creep early exit (a cost rule, not a soundness rule — the
+        # planted-member detection suite gates it): a detection event
+        # CRASHES the min Ritz key below the bar within a few
+        # iterations, because the Chebyshev-filtered start carries O(1)
+        # weight of any sub-bar member (measured trajectories: clean
+        # 64^3 rounds creep 0.159 -> 0.0332 by ~1%-of-gap steps and
+        # plateau far above the 0.0257 bar, while detection rounds open
+        # below the bar at iteration 0-2). When the per-iteration
+        # improvement of the min key has been under 5% of the remaining
+        # distance to the bar for 4 consecutive iterations (after a
+        # 10-iteration safety floor), even geometric extrapolation of
+        # the creep cannot reach the bar — stop the round instead of
+        # burning the full budget (~0.85 ms/iteration of [n, pw]
+        # traffic at the 64^3 scale).
+        gap = keys[0] - bar
+        improved = (prev_key - keys[0]) > 0.10 * jnp.maximum(gap, margin)
+        stall2 = jnp.where(improved, z, _i32(stall + 1))
+        clean_conv = (gap > margin) & (stall2 >= 3) & (t >= 8)
+        if os.environ.get("PTPU_PROBE_DEBUG") == "2":
+            jax.debug.print(
+                "  it {t}: key0={k} bar={b} stall={s} srvp={v}",
+                t=t, k=keys[0], b=bar, s=stall2, v=srvp)
         # srvp == 0 means even the random replacements collapsed — the
         # complement of P ∪ locked ∪ V is (numerically) empty, no further
         # iteration can find anything: exit the round early
-        t_next = jnp.where(srvp == 0, _i32(_PROBE_ITERS), _i32(t + 1))
-        return (P, WP, BP, w, t_next, found | found2, Xb, Z2, key, mv, npc)
+        t_next = jnp.where((srvp == 0) | clean_conv,
+                           _i32(_PROBE_ITERS), _i32(t + 1))
+        return (P, WP, BP, w, t_next, found | found2, Xb, Z2, key, mv,
+                npc, jnp.minimum(prev_key, keys[0]), stall2)
 
     carry = (P0, WP0, BP0, z, z, jnp.zeros((), jnp.bool_),
-             jnp.zeros((n, blk), cdt), Z0, key, mv0, z)
+             jnp.zeros((n, blk), cdt), Z0, key, mv0, z,
+             jnp.asarray(jnp.finfo(rdt).max, rdt), z)
     carry = jax.lax.while_loop(cond, step, carry)
-    (_, _, _, _, _, found, Xb, _, _, mv, npc) = carry
+    (_, _, _, _, _, found, Xb, _, _, mv, npc, _, _) = carry
     return ProbeResult(found=found, X=Xb, num_matvecs=mv, num_preconds=npc,
-                       valid=valid0)
+                       valid=valid0, bnd_hi=bnd_hi, bnd_lo=bnd_lo,
+                       bnds_set=bnds_set)
 
 
 def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
@@ -1674,6 +1803,9 @@ def _build_state(cfg: SolveConfig, A, B, v0, ortho_const, key, dtype,
         num_prev_ritz=jnp.zeros((), jnp.int32),
         probe_ref=jnp.asarray(jnp.finfo(rdt).max, rdt),
         probe_clean=jnp.zeros((), jnp.int32),
+        probe_bnd_hi=jnp.zeros((), rdt),
+        probe_bnd_lo=jnp.zeros((), rdt),
+        probe_bnds_set=jnp.zeros((), jnp.bool_),
         verified=jnp.asarray(cfg.probe_extra == 0, jnp.bool_),
         inner_trace=jnp.zeros(
             (cfg.inner_trace_cap, cfg.blk, 3) if cfg.inner_trace_cap > 0
@@ -1777,8 +1909,17 @@ def run_segment(cfg: SolveConfig, A, B, K, inner_solve, shifts,
                 # cap exhaustion (set reopened and then verified)
                 stats = stats._replace(probe_exhausted=_i32(
                     jnp.where(now_verified, 0, stats.probe_exhausted)))
+                if os.environ.get("PTPU_PROBE_DEBUG"):
+                    jax.debug.print(
+                        "probe round {r}: found={f} valid={v} clean={c} "
+                        "mv={m} bar={bar}", r=stats.num_probe_rounds,
+                        f=pr.found, v=pr.valid, c=clean2,
+                        m=pr.num_matvecs, bar=newkth)
                 s = s._replace(stats=stats, probe_clean=clean2,
                                probe_ref=newkth,
+                               probe_bnd_hi=pr.bnd_hi,
+                               probe_bnd_lo=pr.bnd_lo,
+                               probe_bnds_set=pr.bnds_set,
                                verified=now_verified)
                 return jax.lax.cond(
                     pr.found,
