@@ -167,6 +167,93 @@ int ptpu_svds_csr(long long m, long long n, long long nnz,
   return call_int("svds_csr", args);
 }
 
+// --- Parameter-object surface ----------------------------------------------
+// The C-ABI analogue of primme_params_create / primme_set_method /
+// primme_set_member / primme_free (include/primme_eigs.h:461-477) plus a
+// generic parameterized run (the dprimme(evals, evecs, resnorms, params)
+// call shape). The handle's configuration is replayed against the true
+// problem size at run time, preserving the reference's ordering
+// semantics (a member set after set_method overrides the preset).
+
+long long ptpu_params_create(void) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *r = PyObject_CallMethod(g_mod, "params_create", nullptr);
+  long long h = -101;
+  if (r && PyLong_Check(r)) h = PyLong_AsLongLong(r);
+  if (!r) fetch_pyerr("params_create raised");
+  Py_XDECREF(r);
+  PyGILState_Release(g);
+  return h;
+}
+
+int ptpu_params_free(long long h) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(L)", h);
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("params_free", args);
+}
+
+// Set a member by reference label ("numEvals", "maxBlockSize",
+// "correction.maxInnerIterations", "targetShifts" = "0.5 1.5", ...).
+// Values are strings; numeric/enum coercion happens per member type.
+int ptpu_params_set(long long h, const char *label, const char *value) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(Lss)", h, label ? label : "",
+                                 value ? value : "");
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("params_set", args);
+}
+
+// Apply a method preset by name ("PRIMME_JDQMR", "GD_Olsen_plusK", ...).
+int ptpu_params_set_method(long long h, const char *method) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(Ls)", h, method ? method : "");
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("params_set_method", args);
+}
+
+// Read a numeric member (enums come back as their reference constant).
+int ptpu_params_get(long long h, const char *label, double *out) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(LsL)", h, label ? label : "", addr(out));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("params_get", args);
+}
+
+int ptpu_params_display(long long h) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(L)", h);
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("params_display", args);
+}
+
+// Generic parameterized solve over a CSR matrix: evals/resnorms
+// [numEvals], evecs [n*numEvals] column-major.
+int ptpu_eigsh_run(long long h, long long n, long long nnz,
+                   const long long *indptr, const long long *indices,
+                   const double *data, double *evals, double *evecs,
+                   double *resnorms) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args =
+      Py_BuildValue("(LLLLLLLLL)", h, n, nnz, addr(indptr), addr(indices),
+                    addr(data), addr(evals), addr(evecs), addr(resnorms));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("eigsh_run", args);
+}
+
 // --- F77 bindings ----------------------------------------------------------
 // All-pointer arguments; `target` uses the primme_target integer order
 // (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs, 4 closest_geq,
@@ -202,6 +289,47 @@ void ptpu_svds_csr_(const long long *m, const long long *n,
                     double *svals, double *u, double *v, int *ierr) {
   *ierr = ptpu_svds_csr(*m, *n, *nnz, indptr, indices, data, *k,
                         *largest ? "LM" : "SM", *tol, svals, u, v);
+}
+
+// F77 parameter surface. CHARACTER arguments arrive per the gfortran
+// convention: the data pointer in place, hidden length arguments
+// (size_t) appended after the declared argument list in order; values
+// are right-trimmed of blanks (Fortran pads CHARACTER with spaces).
+static std::string f_str(const char *s, size_t len) {
+  while (len > 0 && (s[len - 1] == ' ' || s[len - 1] == '\0')) --len;
+  return std::string(s, len);
+}
+
+void ptpu_params_create_(long long *h) { *h = ptpu_params_create(); }
+
+void ptpu_params_free_(const long long *h, int *ierr) {
+  *ierr = ptpu_params_free(*h);
+}
+
+void ptpu_params_set_(const long long *h, const char *label,
+                      const char *value, int *ierr, size_t llab,
+                      size_t lval) {
+  *ierr = ptpu_params_set(*h, f_str(label, llab).c_str(),
+                          f_str(value, lval).c_str());
+}
+
+void ptpu_params_set_method_(const long long *h, const char *method,
+                             int *ierr, size_t lmeth) {
+  *ierr = ptpu_params_set_method(*h, f_str(method, lmeth).c_str());
+}
+
+void ptpu_params_get_(const long long *h, const char *label, double *out,
+                      int *ierr, size_t llab) {
+  *ierr = ptpu_params_get(*h, f_str(label, llab).c_str(), out);
+}
+
+void ptpu_eigsh_run_(const long long *h, const long long *n,
+                     const long long *nnz, const long long *indptr,
+                     const long long *indices, const double *data,
+                     double *evals, double *evecs, double *resnorms,
+                     int *ierr) {
+  *ierr = ptpu_eigsh_run(*h, *n, *nnz, indptr, indices, data, evals, evecs,
+                         resnorms);
 }
 
 }  // extern "C"

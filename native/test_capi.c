@@ -35,6 +35,15 @@ extern void ptpu_eigsh_csr_(const long long *n, const long long *nnz,
                             const double *sigma, double *evals, double *evecs,
                             double *resnorms, int *ierr);
 extern const char *ptpu_last_error(void);
+extern long long ptpu_params_create(void);
+extern int ptpu_params_free(long long h);
+extern int ptpu_params_set(long long h, const char *label, const char *value);
+extern int ptpu_params_set_method(long long h, const char *method);
+extern int ptpu_params_get(long long h, const char *label, double *out);
+extern int ptpu_eigsh_run(long long h, long long n, long long nnz,
+                          const long long *indptr, const long long *indices,
+                          const double *data, double *evals, double *evecs,
+                          double *resnorms);
 
 #define N 120
 #define K 3
@@ -131,6 +140,44 @@ int main(void) {
            svals[0], svals[1], svals[2]);
     for (int i = 0; i < K; i++)
       if (!(svals[i] > 0.0 && svals[i] < 4.0)) bad++;
+  }
+
+  { /* parameter-object surface: JDQMR + interior target via the full
+     * configuration API (primme_params_create/set_method/set_member
+     * analogue, include/primme_eigs.h:461-477) */
+    long long h = ptpu_params_create();
+    double out = 0.0;
+    if (h <= 0) { printf("params_create: %s\n", ptpu_last_error()); return 1; }
+    rc = ptpu_params_set(h, "numEvals", "3");
+    rc |= ptpu_params_set(h, "eps", "1e-10");
+    rc |= ptpu_params_set(h, "target", "primme_closest_abs");
+    rc |= ptpu_params_set(h, "targetShifts", "1.2");
+    rc |= ptpu_params_set_method(h, "PRIMME_JDQMR");
+    rc |= ptpu_params_set(h, "maxBlockSize", "2"); /* overrides the preset */
+    if (rc) { printf("params_set: %s\n", ptpu_last_error()); return 1; }
+    rc = ptpu_params_get(h, "maxBlockSize", &out);
+    if (rc || out != 2.0) { printf("params_get maxBlockSize=%g rc=%d\n", out, rc); return 1; }
+    if (ptpu_params_set(h, "noSuchMember", "1") == 0) {
+      printf("params_set accepted an unknown label\n"); return 1;
+    }
+    rc = ptpu_eigsh_run(h, N, nnz, indptr, indices, data, evals, evecs,
+                        resnorms);
+    if (rc) { printf("eigsh_run rc=%d: %s\n", rc, ptpu_last_error()); return 1; }
+    /* the 3 eigenvalues closest to 1.2: find them from the exact set */
+    for (int i = 0; i < K; i++) {
+      double best = 1e30;
+      for (int j = 1; j <= N; j++) {
+        double d = fabs(evals[i] - exact(j));
+        if (d < best) best = d;
+      }
+      if (best > 1e-8 || fabs(evals[i] - 1.2) > 0.08 || resnorms[i] > 1e-7)
+        bad++;
+      printf("  run eval[%d] = %.12f (dist to spectrum %.2e, rnorm %.2e)\n",
+             i, evals[i], best, resnorms[i]);
+    }
+    if (ptpu_params_free(h) != 0 || ptpu_params_free(h) == 0) {
+      printf("params_free lifecycle broken\n"); return 1;
+    }
   }
 
   if (bad) { printf("FAILED (%d checks)\n", bad); return 1; }

@@ -188,6 +188,179 @@ def eigsh_matvec(n: int, fnaddr: int, ctx: int, k: int, which,
         return _set_error(e)
 
 
+# ---------------------------------------------------------------------------
+# Parameter-object surface: the C-ABI analogue of primme_params_create /
+# primme_set_method / primme_set_member / primme_free
+# (include/primme_eigs.h:461-477). A handle owns a PrimmeParams evolved
+# in call order over the Python reflection layer (params.set_member),
+# so — like the reference — a member set AFTER set_method overrides the
+# preset and the full configuration space (method presets, block sizes,
+# interior targets with multiple shifts, projections, locking, ...) is
+# reachable from C and Fortran by string label.
+# ---------------------------------------------------------------------------
+
+_PARAMS: dict = {}
+_NEXT_HANDLE = [1]
+
+
+def params_create() -> int:
+    """New parameter handle (> 0). Set ``numEvals``/``target``/... by
+    label; ``n`` may be set by label or comes from the matrix at run
+    time. Calls are REPLAYED against the true problem size when the
+    solve runs, so method presets resolve for the real ``n`` (applying
+    them eagerly against a placeholder would clamp basis sizes to it)
+    while preserving the reference's ordering semantics: a member set
+    after ``set_method`` overrides the preset."""
+    h = _NEXT_HANDLE[0]
+    _NEXT_HANDLE[0] += 1
+    _PARAMS[h] = {"ops": [], "jacobi": False, "n": 0}
+    return h
+
+
+def params_free(h: int) -> int:
+    if _PARAMS.pop(int(h), None) is None:
+        global _last_error
+        _last_error = f"unknown params handle {h}"
+        return -1
+    return 0
+
+
+def _params_build(st, n: int):
+    """Replay the recorded call sequence on a fresh PrimmeParams sized
+    for the actual problem."""
+    from .params import PrimmeParams, Method, set_member, set_method
+
+    p = PrimmeParams(n=max(int(n), 1))
+    for op, a in st["ops"]:
+        if op == "set":
+            p = set_member(p, a[0], a[1])
+        else:
+            p = set_method(Method[a.replace("PRIMME_", "")], p,
+                           has_precond=st["jacobi"])
+    return p
+
+
+def params_set(h: int, label: str, value: str) -> int:
+    """Set a member by reference label (``maxBlockSize``,
+    ``correction.maxInnerIterations``, ``targetShifts`` = space/comma
+    list, ...). Extra labels beyond the reference surface: ``n`` (the
+    problem size, validated against the matrix at run time) and
+    ``jacobi`` (0/1 — request the built-in Jacobi preconditioner)."""
+    try:
+        st = _PARAMS[int(h)]
+        if label == "jacobi":
+            st["jacobi"] = bool(int(value))
+            return 0
+        if label == "n":
+            st["n"] = int(value)
+            return 0
+        from .params import PrimmeParams, set_member
+
+        # validate the label/value NOW (the reference's set_member
+        # errors at call time, not at dprimme time)
+        set_member(PrimmeParams(n=max(st["n"], 1)), label, value)
+        st["ops"].append(("set", (label, value)))
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def params_set_method(h: int, name: str) -> int:
+    """Apply a method preset (``primme_set_method`` analogue); accepts
+    reference constant names with or without the PRIMME_ prefix."""
+    try:
+        st = _PARAMS[int(h)]
+        from .params import Method
+
+        Method[str(name).replace("PRIMME_", "")]  # validate now
+        st["ops"].append(("method", str(name)))
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def params_get(h: int, label: str, out: int) -> int:
+    """Read a member as a double (``primme_get_member`` restricted to
+    the numeric surface); enum members return their reference constant
+    (``primme_constant_info`` value)."""
+    try:
+        st = _PARAMS[int(h)]
+        from .params import get_member, constant_info
+        import enum as _enum
+
+        v = get_member(_params_build(st, st["n"] or 1), label)
+        if isinstance(v, _enum.Enum):
+            val = None
+            for pref in ("primme_", "primme_proj_", "primme_init_"):
+                try:
+                    val = constant_info(pref + str(v.value))
+                    break
+                except KeyError:
+                    continue
+            if val is None:
+                raise KeyError(f"no constant for {v!r}")
+            v = val
+        elif isinstance(v, tuple):
+            v = v[0] if v else 0.0
+        _arr(out, ctypes.c_double, 1)[0] = float(v)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def params_display(h: int) -> int:
+    """Print the configuration (``primme_display_params``)."""
+    try:
+        st = _PARAMS[int(h)]
+        from .params import display_params
+
+        print(display_params(_params_build(st, st["n"] or 1)))
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def eigsh_run(h: int, n: int, nnz: int, indptr: int, indices: int,
+              data: int, evals: int, evecs: int, resnorms: int) -> int:
+    """Generic parameterized solve (the ``dprimme(evals, evecs,
+    resnorms, params)`` analogue): run the stored configuration against
+    a CSR matrix; writes evals/resnorms [numEvals] and evecs
+    [n*numEvals] column-major."""
+    try:
+        st = _PARAMS[int(h)]
+        from .core.solver import solve_eigs
+        from .operators import aslinearoperator, JacobiPrecond
+
+        A = _csr(n, n, nnz, indptr, indices, data)
+        Aop = aslinearoperator(A)
+        K = JacobiPrecond(Aop.diagonal()) if st["jacobi"] else None
+        from .params import resolve_defaults
+
+        if st["n"] and int(st["n"]) != int(n):
+            raise ValueError(
+                f"params n={st['n']} does not match matrix n={n}")
+        # resolve before reading max_inner_iterations (it may still be
+        # the UNSET sentinel when no method preset was applied);
+        # resolve_defaults is idempotent, solve_eigs re-runs it freely
+        p = resolve_defaults(_params_build(st, int(n)))
+        inner = None
+        if p.max_inner_iterations != 0:
+            from .core.inner import jdqmr_inner_solve
+
+            inner = jdqmr_inner_solve
+        res = solve_eigs(Aop, p, K=K, inner_solve=inner)
+        k = p.num_evals
+        ev = np.asarray(res.evals, np.float64)
+        X = np.asarray(res.evecs, np.float64)
+        _arr(evals, ctypes.c_double, k)[:] = ev
+        _arr(evecs, ctypes.c_double, n * k)[:] = X.reshape(-1, order="F")
+        _arr(resnorms, ctypes.c_double, k)[:] = np.asarray(
+            res.resnorms, np.float64)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
 def svds_csr(m: int, n: int, nnz: int, indptr: int, indices: int,
              data: int, k: int, which, tol: float,
              svals: int, u: int, v: int) -> int:

@@ -1061,9 +1061,9 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # 64^3 rounds creep 0.159 -> 0.0332 by ~1%-of-gap steps and
         # plateau far above the 0.0257 bar, while detection rounds open
         # below the bar at iteration 0-2). When the per-iteration
-        # improvement of the min key has been under 5% of the remaining
-        # distance to the bar for 4 consecutive iterations (after a
-        # 10-iteration safety floor), even geometric extrapolation of
+        # improvement of the min key has been under 10% of the remaining
+        # distance to the bar for 3 consecutive iterations (after an
+        # 8-iteration safety floor), even geometric extrapolation of
         # the creep cannot reach the bar — stop the round instead of
         # burning the full budget (~0.85 ms/iteration of [n, pw]
         # traffic at the 64^3 scale).
