@@ -39,7 +39,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           which: str = "LM", v0: Any = None, ncv: Optional[int] = None,
           maxiter: Optional[int] = None, tol: float = 0.0,
           OPinv: Any = None, return_eigenvectors: bool = True,
-          mode: str = "normal",
+          mode: str = "normal", Minv: Any = None,
           # PRIMME extensions (primme.pyx:284-300)
           lock: Any = None, return_stats: bool = False,
           maxBlockSize: int = 0, minRestartSize: int = 0,
@@ -62,6 +62,18 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     ``which`` in {'LM','SM','LA','SA','CLT','CGT'}; 'SM'/'CLT'/'CGT' are
     interior targets around ``sigma`` (default 0).
     """
+    # scipy-signature arguments the solver does not implement are
+    # validated, not silently ignored (reference parity: primme.pyx:350
+    # "Minv: (not supported yet)", :357 "Only 'normal' mode is
+    # supported")
+    if mode != "normal":
+        raise ValueError(
+            f"only mode='normal' is supported (got {mode!r}); "
+            f"buckling/cayley transformations are not implemented")
+    if Minv is not None:
+        raise NotImplementedError(
+            "Minv is not supported (reference parity: primme.pyx:350); "
+            "pass OPinv for a preconditioner")
     # Sparse inputs: prefer the shift-based banded (DIA) layout via RCM
     # reordering — near-HBM-peak on TPU vs slow gathers (see operators.
     # rcm_banded). The permutation is applied here and undone on output.

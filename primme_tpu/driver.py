@@ -106,8 +106,19 @@ def main(argv=None) -> int:
     if r.evals is not None:
         for i, (ev, rn) in enumerate(zip(r.evals, r.rnorms)):
             print(f"{label}[{i + 1}]: {ev:-22.15E} rnorm: {rn:-22.15E}")
-    mv = getattr(r.stats, "num_matvecs", None) if r.stats is not None else None
-    nmv = int(mv) if mv is not None else 0
+    # eigs configs carry a Stats namedtuple; svds configs carry the flat
+    # per-stage dict (stage1_num_matvecs/stage2_num_matvecs) — sum the
+    # stages so the matvec aggregate (the reference suite's parity
+    # metric, tests/Makefile:119) is real for both
+    nmv = 0
+    if r.stats is not None:
+        mv = getattr(r.stats, "num_matvecs", None)
+        if mv is not None:
+            nmv = int(mv)
+        elif isinstance(r.stats, dict):
+            nmv = int(sum(v for kk, v in r.stats.items()
+                          if kk.endswith("_num_matvecs")
+                          and not kk.endswith("probe_matvecs")))
     print(f"Tests: 1 Matvecs: {nmv} Time: {wall:.3f} s")
     if r.ok:
         print("solution check: OK")

@@ -109,7 +109,10 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
          aNorm: float = 0.0, mesh: Any = None,
          segment_outer: Optional[int] = None,
          stage1_params: Optional[dict] = None,
-         stage2_params: Optional[dict] = None):
+         stage2_params: Optional[dict] = None,
+         orthou0: Any = None, orthov0: Any = None,
+         convtest: Any = None, monitor: Any = None,
+         return_history: bool = False):
     """Compute k singular triplets of the rectangular operator ``A``.
 
     Mirrors the reference Python binding (``Python/primme.pyx:1074``) with
@@ -117,6 +120,21 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
     numeric value (closest_abs). ``method`` in {'hybrid',
     'normalequations', 'augmented'} (``primme_svds_set_method``,
     ``src/svds/primme_svds_interface.c:219``).
+
+    ``orthou0``/``orthov0``: seek triplets orthogonal to these (ideally
+    orthonormal) left/right constraint vectors — a deflated solve
+    resuming a partial SVD (``primme.pyx:1127-1134``); if only one side
+    is given the other is completed through the operator (QR of ``A v``
+    / ``A^H u``). ``convtest(svals, resnorms, tol, anorm)`` is a
+    user-defined per-triplet convergence test operating on arrays of
+    singular values and TRIPLET-scale residual norms (each stage's
+    native residual is converted before the call; must be
+    jax-traceable). ``monitor(stage, event, ...)`` receives the eigsh
+    monitor event stream tagged with the driving stage (1 = first
+    stage on the normal equations, 2 = augmented refinement) — the
+    reference's ``monitor_stage1/stage2`` split
+    (``src/svds/primme_svds_c.c:1763+``); ``return_history`` collects
+    the same per-stage records into ``stats['hist']``.
     """
     Aop = aslinearoperator(A)
     shard = None
@@ -155,6 +173,70 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             stats_all[f"{prefix}_{kk}"] = np.asarray(vv).item()
 
     # ------------------------------------------------------------------
+    # External orthogonal constraints (primme.pyx check_pair semantics:
+    # swapped arguments tolerated, missing side completed through A)
+    # ------------------------------------------------------------------
+    ou = ov = None
+    if orthou0 is not None or orthov0 is not None:
+        ou = np.asarray(orthou0) if orthou0 is not None else None
+        ov = np.asarray(orthov0) if orthov0 is not None else None
+        if ou is not None and ou.ndim == 1:
+            ou = ou[:, None]
+        if ov is not None and ov.ndim == 1:
+            ov = ov[:, None]
+        if ((ou is not None and ou.shape[0] != m)
+                or (ov is not None and ov.shape[0] != n)):
+            ou, ov = ov, ou
+        if ((ou is not None and ou.shape[0] != m)
+                or (ov is not None and ov.shape[0] != n)):
+            raise ValueError(
+                "orthou0/orthov0 do not have the expected number of rows")
+        if (ou is not None and ov is not None
+                and ou.shape[1] != ov.shape[1]):
+            raise ValueError(
+                "orthou0 and orthov0 must have the same number of columns")
+        if ov is None:
+            ov, _ = np.linalg.qr(np.asarray(Aop.rmatmat(jnp.asarray(ou))))
+        if ou is None:
+            ou, _ = np.linalg.qr(np.asarray(Aop.matmat(jnp.asarray(ov))))
+    noc_uv = 0 if ou is None else int(ou.shape[1])
+
+    # ------------------------------------------------------------------
+    # Per-stage monitor / history (monitor_stage1/stage2 split,
+    # src/svds/primme_svds_c.c:1763+): the eigsh event stream of each
+    # inner eigensolve, tagged with its stage, with values/residuals
+    # converted to the TRIPLET scale of that stage's operator.
+    # ------------------------------------------------------------------
+    hist: dict = {kk: [] for kk in (
+        "stage", "event", "num_outer", "num_matvecs", "num_locked",
+        "num_converged", "basis_size", "num_inner", "svals", "resnorms")}
+
+    def _mk_mon(stage, to_svals, to_resn):
+        if monitor is None and not return_history:
+            return None
+
+        def mon(event, num_outer, num_matvecs, num_locked, num_converged,
+                basis_size, num_inner, hvals, resnorms, inner_trace=None):
+            sv = to_svals(np.asarray(hvals))
+            rn = to_resn(np.asarray(resnorms), sv)
+            if monitor is not None:
+                monitor(stage, event, num_outer, num_matvecs, num_locked,
+                        num_converged, basis_size, num_inner, sv, rn)
+            if return_history:
+                hist["stage"].append(stage)
+                hist["event"].append(int(event))
+                hist["num_outer"].append(int(num_outer))
+                hist["num_matvecs"].append(int(num_matvecs))
+                hist["num_locked"].append(int(num_locked))
+                hist["num_converged"].append(int(num_converged))
+                hist["basis_size"].append(int(basis_size))
+                hist["num_inner"].append(int(num_inner))
+                hist["svals"].append(sv)
+                hist["resnorms"].append(rn)
+
+        return mon
+
+    # ------------------------------------------------------------------
     # Stage 1
     # ------------------------------------------------------------------
     stage1_op = method in ("hybrid", "normalequations", "default")
@@ -175,6 +257,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
         p1 = PrimmeParams(n=nn, num_evals=k, target=tgt, target_shifts=tsh,
                           eps=eps, max_basis_size=(ncv or 0),
                           max_block_size=maxBlockSize,
+                          num_ortho_const=noc_uv,
                           a_norm=aNorm * aNorm if aNorm > 0 else 0.0,
                           rng_seed=seed)
         if maxiter:
@@ -246,8 +329,30 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             srn = resnorms / jnp.maximum(sval, jnp.finfo(rdt1).tiny)
             return floor | (srn < eps1 * jnp.sqrt(jnp.maximum(aop, 0.0)))
 
-        r1 = solve_eigs(Nop, p1, K=K1, v0=g0, inner_solve=inner1,
-                        shard=shard, convtest=conv_stage1,
+        if convtest is not None:
+            # user test REPLACES the default (primme.pyx: "The value
+            # [tol] is ignored if convtest is provided"), called on the
+            # triplet scale: sigma ~ sqrt(theta), triplet residual ~
+            # eigen-residual / sigma
+            def conv_stage1(evals, resnorms, tol, anorm_est):  # noqa: F811
+                aop = jnp.maximum(anorm_est, an2_hint)
+                sval = jnp.sqrt(jnp.maximum(jnp.abs(jnp.real(evals)), 0.0))
+                srn = resnorms / jnp.maximum(sval, jnp.finfo(rdt1).tiny)
+                return convtest(sval, srn, tol,
+                                jnp.sqrt(jnp.maximum(aop, 0.0)))
+
+        mon1 = _mk_mon(
+            1,
+            lambda hv: np.sqrt(np.maximum(np.real(hv), 0.0)),
+            lambda rn, sv: rn / np.maximum(sv, np.finfo(np.float64).tiny))
+        oc1 = None
+        if noc_uv:
+            oc1 = jnp.asarray(ov if use_ata else ou)
+            if shard is not None:
+                oc1 = jax.device_put(oc1, shard)
+        r1 = solve_eigs(Nop, p1, K=K1, v0=g0, ortho_const=oc1,
+                        inner_solve=inner1,
+                        shard=shard, convtest=conv_stage1, monitor=mon1,
                         segment_outer=segment_outer)
         merge_stats(r1.stats, "stage1")
         mv_stage1 = int(np.asarray(r1.stats.num_matvecs))
@@ -306,6 +411,15 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 g2 = stack[:, rest_idx]
             else:
                 oc, g2 = None, None
+            if noc_uv:
+                # external (orthou0/orthov0) constraints lead, then the
+                # stage-1-converged triplets — the reference's svecs
+                # layout (numOrthoConst columns first, primme.pyx:1446)
+                base_oc = _aug_stack(jnp.asarray(ov).astype(Aop.dtype),
+                                     jnp.asarray(ou).astype(Aop.dtype),
+                                     n_p, m_p)
+                oc = (base_oc if oc is None
+                      else jnp.concatenate([base_oc, oc], axis=1))
             if shard is not None:
                 if oc is not None:
                     oc = jax.device_put(oc, shard)
@@ -355,7 +469,7 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             p2 = PrimmeParams(
                 n=m_p + n_p, num_evals=ne2, target=tgt2, target_shifts=tsh2,
                 eps=eps, max_block_size=maxBlockSize,
-                num_ortho_const=(len(conv_idx) if oc is not None else 0),
+                num_ortho_const=(0 if oc is None else int(oc.shape[1])),
                 a_norm=anorm2, rng_seed=seed + 1)
             if maxiter:
                 # stage 2 gets whatever the user budget has left after
@@ -411,8 +525,19 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 anormA = jnp.maximum(anorm_est, anorm2)
                 return resnorms * sq2f < eps2 * jnp.maximum(anormA, 1e-300)
 
+            if convtest is not None:
+                # user test on the triplet scale: sigma ~ |theta|,
+                # triplet residual ~ sqrt(2) x augmented eigen-residual
+                def conv_stage2(evals, resnorms, tol, anorm_est):  # noqa: F811
+                    return convtest(jnp.abs(jnp.real(evals)),
+                                    resnorms * sq2f, tol,
+                                    jnp.maximum(anorm_est, anorm2))
+
+            mon2 = _mk_mon(2, lambda hv: np.abs(np.real(hv)),
+                           lambda rn, sv: rn * sq2f)
             r2 = solve_eigs(Aug, p2, K=K2, v0=g2, ortho_const=oc,
                             inner_solve=inner2, convtest=conv_stage2,
+                            monitor=mon2,
                             shard=shard, segment_outer=segment_outer)
             merge_stats(r2.stats, "stage2")
 
@@ -454,6 +579,8 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                               f"(resnorms={resn_h})")
 
     stats_all["resnorms"] = resn_h
+    if return_history:
+        stats_all["hist"] = hist
     out = [svals_h]
     if return_singular_vectors:
         out = [U_h, svals_h, V_h.conj().T]

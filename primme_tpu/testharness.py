@@ -408,16 +408,20 @@ def run_svds_config(path: str, base_dir: str = None,
     # configs (measured: 136k matvecs on test_203, 162k on test_204)
     # the harness does its own residual/golden checking below; report a
     # failed CheckResult rather than raising mid-harness
-    U, svals, Vt = svds_fn(A, k=k, tol=eps, which=which, method=method,
-                           maxiter=250000, stage1_params=s1 or None,
-                           stage2_params=s2 or None,
-                           raise_for_unconverged=False, **prec)
+    U, svals, Vt, sv_stats = svds_fn(
+        A, k=k, tol=eps, which=which, method=method,
+        maxiter=250000, stage1_params=s1 or None,
+        stage2_params=s2 or None, return_stats=True,
+        raise_for_unconverged=False, **prec)
     save = save_x_file or (
         os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
         write_sol_svecs(save, U, Vt.conj().T)
     out = CheckResult()
     out.evals = svals
+    # flat per-stage dict (stage1_num_matvecs / stage2_num_matvecs...);
+    # the driver sums the stages for its matvec aggregate
+    out.stats = sv_stats
     sref = np.linalg.svd(A.toarray(), compute_uv=False)
     anorm = sref[0]
 

@@ -90,3 +90,81 @@ def test_svds_sigma_closest(rect):
     U, s, Vt = svds(A, k=3, which=target, tol=1e-9)
     expect = sv[np.argsort(np.abs(sv - target))][:3]
     assert np.abs(np.sort(s) - np.sort(expect)).max() < 1e-6 * sv[-1]
+
+
+def test_orthou0_deflated_resume(rect):
+    """orthou0/orthov0 (primme.pyx:1127-1134): a second solve constrained
+    to the first solve's triplets returns the NEXT largest values — a
+    deflated resume of a partial SVD."""
+    A, sv = rect
+    U1, s1, Vt1 = svds(A, k=3, which="LM", tol=1e-10)
+    U2, s2, Vt2 = svds(A, k=3, which="LM", tol=1e-10,
+                       orthou0=U1, orthov0=Vt1.conj().T)
+    assert np.abs(np.sort(s1) - sv[-3:]).max() < 1e-8 * sv[-1]
+    assert np.abs(np.sort(s2) - sv[-6:-3]).max() < 1e-8 * sv[-1]
+    # the two triplet sets are mutually orthogonal
+    assert np.abs(U1.T @ U2).max() < 1e-6
+    assert np.abs(Vt1 @ Vt2.T).max() < 1e-6
+
+
+def test_orthov0_one_sided(rect):
+    """With only one side given, the other is completed through A
+    (check_pair, primme.pyx:1339-1343)."""
+    A, sv = rect
+    U1, s1, Vt1 = svds(A, k=2, which="LM", tol=1e-10)
+    _, s2, _ = svds(A, k=2, which="LM", tol=1e-10, orthov0=Vt1.conj().T)
+    assert np.abs(np.sort(s2) - sv[-4:-2]).max() < 1e-8 * sv[-1]
+
+
+def test_svds_user_convtest(rect):
+    """User convtest replaces the per-stage defaults (primme.pyx: the
+    tol value is ignored when convtest is given): an accept-everything
+    test terminates the solve almost immediately despite tol=1e-12,
+    while a sharpened test drives residuals past the default bar."""
+    import jax.numpy as jnp
+    A, sv = rect
+
+    def accept_all(svals, resnorms, tol, anorm):
+        return jnp.ones(resnorms.shape, bool)
+
+    _, s_loose, _, st_loose = svds(A, k=3, which="LM", tol=1e-12,
+                                   convtest=accept_all, return_stats=True,
+                                   raise_for_unconverged=False)
+    _, s_tight, _, st_tight = svds(A, k=3, which="LM", tol=1e-12,
+                                   return_stats=True)
+    # solve-only matvecs (the spectrum-verification probe fires exactly
+    # because accept-all declares instant convergence; its cost is
+    # reported separately and not part of what convtest governs)
+    mv = lambda st: (st.get("stage1_num_matvecs", 0)  # noqa: E731
+                     + st.get("stage2_num_matvecs", 0)
+                     - st.get("stage1_num_probe_matvecs", 0)
+                     - st.get("stage2_num_probe_matvecs", 0))
+    assert mv(st_loose) < mv(st_tight)
+    # loose acceptance -> visibly looser residuals than the tight run
+    assert (np.max(st_loose["resnorms"])
+            > 10 * max(np.max(st_tight["resnorms"]), 1e-300))
+
+
+def test_svds_monitor_and_history(rect):
+    """Per-stage monitor events (monitor_stage1/stage2,
+    src/svds/primme_svds_c.c:1763+) and return_history."""
+    A, sv = rect
+    seen = []
+
+    def mon(stage, event, num_outer, num_matvecs, num_locked,
+            num_converged, basis_size, num_inner, svals, resnorms):
+        seen.append((stage, int(event)))
+
+    _, s, _, st = svds(A, k=3, which="SM", tol=1e-9, monitor=mon,
+                       return_stats=True, return_history=True)
+    stages = {sgt for sgt, _ in seen}
+    assert 1 in stages  # stage-1 (normal equations) events arrived
+    h = st["hist"]
+    assert len(h["stage"]) == len(seen) and len(h["svals"]) == len(seen)
+    # history singular values are on the TRIPLET scale: stage-1 records
+    # sqrt(theta), so every recorded converged value must lie inside the
+    # singular spectrum's range, not its square
+    smax = sv[-1]
+    for sgt, sval_rec in zip(h["stage"], h["svals"]):
+        assert np.nanmax(np.abs(np.asarray(sval_rec, float))) < 3 * smax
+    assert np.abs(np.sort(s) - sv[:3]).max() < 1e-7 * sv[-1]
