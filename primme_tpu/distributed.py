@@ -51,7 +51,8 @@ class HaloELLOperator(LinearOperator):
     """
 
     def __init__(self, cols, vals, diag, shape, halo: int,
-                 mesh=None, axis: Optional[str] = None):
+                 mesh=None, axis: Optional[str] = None,
+                 hrows: Optional[int] = None):
         self.cols = jnp.asarray(cols, jnp.int32)
         self.vals = jnp.asarray(vals)
         self.diag = None if diag is None else jnp.asarray(diag)
@@ -60,39 +61,66 @@ class HaloELLOperator(LinearOperator):
         self.mesh = mesh
         self.axis = axis if axis is not None else (
             mesh.axis_names[0] if mesh is not None else None)
+        # boundary-row thickness: rows further than ``hrows`` from either
+        # shard edge are guaranteed to reference only the local block
+        # (computed at pack time); None disables the overlap split.
+        self.hrows = None if hrows is None else int(hrows)
         self.dtype = self.vals.dtype
 
     def _leaves(self):
         return (self.cols, self.vals, self.diag)
 
     def _aux(self):
-        return (self.shape, self.halo, self.mesh, self.axis)
+        return (self.shape, self.halo, self.mesh, self.axis, self.hrows)
 
     def _init_from(self, leaves, aux):
         self.cols, self.vals, self.diag = leaves
-        self.shape, self.halo, self.mesh, self.axis = aux
+        (self.shape, self.halo, self.mesh, self.axis,
+         *rest) = aux
+        self.hrows = rest[0] if rest else None
         self.dtype = self.vals.dtype
 
     # -- local (per-shard) kernel ---------------------------------------
     def _local_apply(self, cols, vals, x):
-        """One shard: exchange h-row halos with the two neighbors, then
-        gather from the [n_local + 2h, k] window. The only communication
-        is the two ppermutes — 2*h*k elements, the reference's O(halo)
-        contract (petscw.c's VecScatter equivalent) riding ICI."""
+        """One shard: exchange h-row halos with the two neighbors and
+        gather/FMA from the [n_local + 2h, k] window. The only
+        communication is the two ppermutes — 2*h*k elements, the
+        reference's O(halo) contract (petscw.c's VecScatter equivalent)
+        riding ICI.
+
+        Communication/computation OVERLAP: only the ``hrows`` rows at
+        each shard edge can hold halo entries, so the interior
+        ``n_local - 2*hrows`` rows' gather/FMA takes ``x`` alone — its
+        HLO has no data dependency on the collective-permutes, and the
+        TPU scheduler runs it between the async permute start/done pair
+        while the boundary segments are in flight (the structural
+        prerequisite for the BASELINE ">=80% scaling" target; asserted
+        on the compiled jaxpr in tests/test_distributed.py)."""
         h = self.halo
-        if h > 0:
-            nsh = self.mesh.devices.size
-            # no wraparound: edge shards read zeros (only padding entries
-            # can index there, and their values are zero)
-            to_right = [(i, i + 1) for i in range(nsh - 1)]
-            to_left = [(i + 1, i) for i in range(nsh - 1)]
-            left = jax.lax.ppermute(x[-h:], self.axis, to_right)
-            right = jax.lax.ppermute(x[:h], self.axis, to_left)
+        nl = x.shape[0]
+        if h == 0:
+            return jnp.einsum("nw,nwk->nk", vals, x[cols])
+        nsh = self.mesh.devices.size
+        # no wraparound: edge shards read zeros (only padding entries
+        # can index there, and their values are zero)
+        to_right = [(i, i + 1) for i in range(nsh - 1)]
+        to_left = [(i + 1, i) for i in range(nsh - 1)]
+        left = jax.lax.ppermute(x[-h:], self.axis, to_right)
+        right = jax.lax.ppermute(x[:h], self.axis, to_left)
+        hr = self.hrows
+        if hr is None or 2 * hr >= nl:
+            # no interior to overlap — original exchange-then-compute
             xw = jnp.concatenate([left, x, right], axis=0)
-        else:
-            xw = x
-        g = xw[cols]                                  # [nl, w, k]
-        return jnp.einsum("nw,nwk->nk", vals, g)
+            return jnp.einsum("nw,nwk->nk", vals, xw[cols])
+        # interior rows: window indices shifted into the local block —
+        # independent of the exchanged halos by construction
+        ci = jnp.clip(cols[hr:nl - hr] - h, 0, nl - 1)
+        yi = jnp.einsum("nw,nwk->nk", vals[hr:nl - hr], x[ci])
+        # boundary rows: full window (left halo ++ local ++ right halo)
+        xw = jnp.concatenate([left, x, right], axis=0)
+        yt = jnp.einsum("nw,nwk->nk", vals[:hr], xw[cols[:hr]])
+        yb = jnp.einsum("nw,nwk->nk", vals[nl - hr:], xw[cols[nl - hr:]])
+        return jnp.concatenate([yt, yi, yb], axis=0)
 
     def matmat(self, X):
         if self.mesh is None or self.mesh.devices.size == 1:
@@ -171,6 +199,18 @@ class HaloELLOperator(LinearOperator):
         win_start = (rows // nl).astype(np.int64) * nl - h
         cols[rows, offs] = (A.indices - win_start).astype(np.int32)
         vals[rows, offs] = A.data
+
+        # boundary-row thickness for the overlap split: the max distance
+        # from a shard edge of any row holding a halo entry (+1). Rows
+        # deeper inside the block provably reference local data only, so
+        # their gather/FMA can run while the halo ppermute is in flight.
+        hrows = 0
+        if h > 0 and A.nnz:
+            start = (rows // nl).astype(np.int64) * nl
+            is_halo = (A.indices < start) | (A.indices >= start + nl)
+            if is_halo.any():
+                l = (rows[is_halo] % nl).astype(np.int64)
+                hrows = int(np.minimum(l, nl - 1 - l).max()) + 1
         op = HaloELLOperator(cols, vals, A.diagonal(), A.shape, h,
-                             mesh=mesh)
+                             mesh=mesh, hrows=hrows)
         return op, perm

@@ -132,3 +132,61 @@ def test_eigsh_mesh_uses_halo_and_matches(mesh8):
     # the eigenvectors must be returned in the ORIGINAL ordering
     R = A @ vecs - vecs * vals[None, :]
     assert np.linalg.norm(R, axis=0).max() < 1e-6 * np.abs(ref).max()
+
+
+def test_halo_overlap_structure(mesh8):
+    """Communication/computation overlap (BASELINE ">=80% on v5p-16"
+    prerequisite): in the compiled matvec, the interior rows' gather/FMA
+    must have NO data dependency on the halo ppermutes — the scheduler
+    can then run it between the async collective-permute start/done pair
+    while boundary segments are in flight. Asserted structurally on the
+    jaxpr: at least one dot_general whose transitive inputs exclude
+    every ppermute, sized to the interior rows, plus tainted dot(s) for
+    the boundary rows."""
+    n, k = 1024, 8
+    A = _band_matrix(n, 3, 3)
+    op, _ = HaloELLOperator.from_scipy(A, mesh8, try_rcm=False)
+    nl = n // 8
+    assert op.halo > 0 and op.hrows is not None
+    assert 0 < op.hrows <= op.halo  # band reach bounds the edge rows
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(n, k))
+    Xd = jax.device_put(X, NamedSharding(mesh8, P("rows", None)))
+    with mesh8:
+        jaxpr = jax.make_jaxpr(op.matmat)(Xd)
+
+    # locate the (nested) jaxpr that holds the ppermute eqns
+    def find_ppermute_jaxpr(j):
+        if any(e.primitive.name == "ppermute" for e in j.eqns):
+            return j
+        for e in j.eqns:
+            for v in e.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns"):
+                    r = find_ppermute_jaxpr(inner)
+                    if r is not None:
+                        return r
+        return None
+
+    body = find_ppermute_jaxpr(jaxpr.jaxpr)
+    assert body is not None, "no ppermute in the compiled matvec"
+
+    tainted = set()
+    clean_dots, tainted_dots = [], []
+    for e in body.eqns:
+        deps = any(getattr(v, "count", None) is not None and v in tainted
+                   for v in e.invars)
+        is_pp = e.primitive.name == "ppermute"
+        if is_pp or deps:
+            tainted.update(e.outvars)
+        if e.primitive.name == "dot_general":
+            (tainted_dots if (is_pp or deps) else clean_dots).append(e)
+
+    # the interior FMA is ppermute-independent and covers the interior rows
+    interior_rows = nl - 2 * op.hrows
+    assert any(e.outvars[0].aval.shape[0] == interior_rows
+               for e in clean_dots), (
+        f"no ppermute-independent dot over the {interior_rows} interior "
+        f"rows: clean={[(e.outvars[0].aval.shape) for e in clean_dots]}")
+    # and the boundary rows do consume the exchanged halos
+    assert tainted_dots, "boundary FMA lost its halo dependency"
