@@ -106,6 +106,11 @@ class Stats(NamedTuple):
     # probe Davidson), INCLUDED in num_matvecs: subtract to compare the
     # solve cost itself against an unverified run / the reference
     num_probe_matvecs: jax.Array
+    # 1 when spectrum verification was REQUESTED but the probe does not
+    # cover this problem class (interior targets, normal operators):
+    # the solve runs unverified like the reference, and that fact is a
+    # visible stat rather than an implied one
+    probe_unsupported: jax.Array
 
     @staticmethod
     def zeros(rdt):
@@ -113,7 +118,7 @@ class Stats(NamedTuple):
         zr = jnp.zeros((), rdt)
         big = jnp.asarray(jnp.finfo(rdt).max, rdt)
         return Stats(z, z, z, z, z, z, z, z, zr, zr, zr,
-                     z, zr, zr, zr, big, -big, z, z, z, z)
+                     z, zr, zr, zr, big, -big, z, z, z, z, z)
 
 
 class ProbeResult(NamedTuple):
@@ -355,9 +360,12 @@ class SolveConfig(NamedTuple):
     eps_floor: float = 0.0
     # Spectrum-verification probe (see SolverState docstring): number of
     # extra pairs each probe round converges (0 disables probing) and the
-    # round budget.
+    # round budget. probe_unsupported records a REQUESTED verification
+    # the probe cannot serve (interior target / normal operator) for the
+    # Stats surface.
     probe_extra: int = 0
     max_probe_rounds: int = 0
+    probe_unsupported: int = 0
     # Per-inner-iteration monitor events (primme_event_inner_iteration,
     # src/eigs/inner_solve.c:491-500). The reference calls monitorFun
     # from inside the QMR loop; under XLA the loop is one fused device
@@ -378,18 +386,21 @@ def make_config(p: PrimmeParams) -> SolveConfig:
     # with blockSize < multiplicity a solve can legitimately need O(k)
     # of them before the two final clean rounds.
     rounds = (p.num_evals + 6) if p.verify_spectrum < 0 else p.verify_spectrum
-    # The probe subsolve covers Hermitian extreme-target problems (the
-    # degenerate-cluster hazard class); interior targets and normal
-    # operators run unverified like the reference.
+    # The probe subsolve covers Hermitian extreme-target problems
+    # including largest_abs (the degenerate-cluster hazard class);
+    # interior targets and normal operators run unverified like the
+    # reference — recorded in Stats.probe_unsupported so "unverified" is
+    # visible, never implied.
+    probe_targets = (Target.smallest, Target.largest, Target.largest_abs)
+    probe_ok = p.hermitian and p.target in probe_targets
     probe_extra = (min(blk, max(0, p.n - noc - ne))
-                   if (rounds > 0 and p.hermitian
-                       and p.target in (Target.smallest, Target.largest))
-                   else 0)
+                   if (rounds > 0 and probe_ok) else 0)
     cwin = min(mmax, ne + blk)
     return SolveConfig(
         n=p.n, ne=ne, mmax=mmax, mrs=p.min_restart_size, blk=blk,
         kmax=min(p.max_prev_retain, cwin), cwin=cwin, noc=noc,
         probe_extra=probe_extra, max_probe_rounds=rounds,
+        probe_unsupported=int(rounds > 0 and not probe_ok),
         lockmax=noc + ne + cwin, locking=bool(p.locking), target=p.target,
         eps=p.eps, a_norm=p.a_norm, olsen=p.projectors.RightX,
         robust_shifts=p.robust_shifts,
@@ -790,6 +801,30 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     bnds_set = s.probe_bnds_set
     if has_B:
         Z0, mv0 = _rand_block(kf, n, blk, cdt), z
+    elif cfg.target == Target.largest_abs:
+        # Two-sided |.| threshold (largest_abs): the suppression window
+        # is fixed by the bar itself — [bar + cut, -bar - cut] with
+        # bar = -|lambda_ne| — so no spectral-range estimates (and no
+        # power iterations) are involved; anything the filter amplifies
+        # on EITHER side is a legitimate candidate direction, which also
+        # removes the wrong-end failure mode the one-sided sanity check
+        # guards, leaving only the finiteness condition.
+        rdt_cut = jnp.maximum(8.0 * margin.astype(rdt),
+                              1e-3 * jnp.maximum(-2.0 * bar, 0.0))
+        s_lo = (bar + rdt_cut).astype(rdt)
+        s_hi = ((-bar) - rdt_cut).astype(rdt)
+        width = jnp.maximum(s_hi - s_lo, jnp.asarray(1e-30, rdt))
+        ac = jnp.arccosh(1.0 + 2.0 * rdt_cut / width)
+        need = float(math.log(4.0 * math.sqrt(n)))
+        deg = jnp.clip((need / jnp.maximum(ac, 1e-6)).astype(jnp.int32) + 1,
+                       8, 512)
+        okf = s_hi > s_lo
+        Z0 = jax.lax.cond(
+            okf,
+            lambda k: _filtered_rand_block(cfg, A, k, cdt, s_lo, s_hi, deg),
+            lambda k: _rand_block(k, n, blk, cdt), kf)
+        mv0 = jnp.where(okf, deg, z)
+        valid0 = jnp.all(jnp.isfinite(Z0))
     else:
         emin, emax = s.stats.est_min_eval, s.stats.est_max_eval
         # the tracked estimates only cover Ritz values the solve has SEEN;
@@ -1787,7 +1822,8 @@ def _build_state(cfg: SolveConfig, A, B, v0, ortho_const, key, dtype,
         num_matvecs=nmv0, num_random=nrand0.astype(jnp.int32),
         num_global_sum=jnp.asarray(nb0 * ngs_bo + 1, jnp.int32),
         volume_global_sum=jnp.asarray(nb0 * vol_bo + mmax * mmax, rdt),
-        num_ortho_inner_prods=jnp.asarray(nb0 * vol_bo, rdt))
+        num_ortho_inner_prods=jnp.asarray(nb0 * vol_bo, rdt),
+        probe_unsupported=jnp.asarray(cfg.probe_unsupported, jnp.int32))
     s0 = SolverState(
         V=V, W=W, BV=BV, H=H, b=b,
         prev_hvecs=jnp.zeros((mmax, max(cfg.kmax, 1)), cdt),

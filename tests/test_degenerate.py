@@ -183,3 +183,55 @@ def test_probe_span_exhaustion_clean():
         assert int(st["probe_exhausted"]) == 0
         assert int(st["num_probe_rounds"]) <= 3
         assert int(st["num_matvecs"]) < 600, st["num_matvecs"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_probe_finds_planted_missing_member_largest_abs(seed):
+    """largest_abs (which='LM') probe coverage: a 3-fold cluster at the
+    |.|-extreme with mixed-sign spectrum, started from guesses spanning
+    every target direction EXCEPT one cluster member — the two-sided
+    |.|-window probe must surface it (set equality, not residuals)."""
+    from primme_tpu.params import Target
+    rng = np.random.default_rng(7)
+    n, k = 256, 6
+    d = np.concatenate([
+        [-12.0, -12.0, -12.0, 11.5, 11.0, 10.5],   # |.|-extreme targets
+        rng.uniform(-8.0, 8.0, size=n - 6)])
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    from primme_tpu.operators import aslinearoperator
+    Ad = Q @ np.diag(d) @ Q.T
+    A = aslinearoperator(jnp.asarray(0.5 * (Ad + Ad.T)))
+    # guesses: all 6 target directions plus one spare, minus one -12
+    # cluster member (index 1) — invisible to corrections without
+    # fresh randomness
+    idx = [0, 2, 3, 4, 5]
+    v0 = jnp.asarray(Q[:, idx])
+
+    p = PrimmeParams(n=n, num_evals=k, eps=1e-10, max_basis_size=20,
+                     max_block_size=2, max_matvecs=40000, locking=0,
+                     target=Target.largest_abs, target_shifts=(0.0,),
+                     rng_seed=seed)
+    p = set_method(Method.GD_Olsen_plusK, p, has_precond=False)
+    res = solve_eigs(A, p, v0=v0, dtype=jnp.float64)
+    got = np.sort(np.asarray(res.evals))
+    expect = np.sort(d[:6])
+    assert np.abs(got - expect).max() < 1e-7, (got, expect)
+    assert int(res.stats.num_probe_rounds) >= 1
+    assert int(res.stats.probe_exhausted) == 0
+    assert int(res.stats.probe_unsupported) == 0
+
+
+def test_probe_unsupported_stat_interior():
+    """Interior targets run unverified like the reference — and say so:
+    Stats.probe_unsupported = 1 when verification was requested but the
+    probe does not cover the problem class."""
+    from primme_tpu import eigsh
+    n = 120
+    d = np.linspace(1.0, 50.0, n)
+    import scipy.sparse as sp
+    A = sp.diags(d).tocsr()
+    _, _, st = eigsh(A, k=3, which="CGT", sigma=25.0, tol=1e-9,
+                     return_stats=True)
+    assert st["probe_unsupported"] == 1
+    _, _, st2 = eigsh(A, k=3, which="SA", tol=1e-9, return_stats=True)
+    assert st2["probe_unsupported"] == 0
