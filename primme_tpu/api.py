@@ -53,7 +53,8 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           time_breakdown: bool = False,
           segment_outer: Optional[int] = None,
           verify_spectrum: Optional[int] = None,
-          monitor_inner: bool = False):
+          monitor_inner: bool = False,
+          profile: Optional[str] = None):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -221,10 +222,13 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     if mon is None and printLevel >= 2:
         def mon(event, num_outer, num_matvecs, num_locked, num_converged,
                 basis_size, num_inner, hvals, resnorms,
-                inner_trace=None):
+                inner_trace=None, msg=None, time=None):
             # default_monitor-style text reporting (primme_c.c:602);
             # per-inner-iteration INN lines when monitor_inner=True
             # replay the device-recorded QMR trace (inner_solve.c:491)
+            if int(event) == 7:   # primme_event_profile
+                print(f"PRF {msg} {float(time):.6f}s")
+                return
             if inner_trace is not None and int(num_inner) > 0:
                 tr = np.asarray(inner_trace)
                 for i in range(min(int(num_inner), tr.shape[0])):
@@ -353,7 +357,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     # never rank-0-solved-and-broadcast (primme_stats numBroadcast)
     stats["num_broadcast"] = 0
     stats["volume_broadcast"] = 0
-    if time_breakdown and return_stats:
+    if (time_breakdown and return_stats) or profile:
         # MEASURED in-solve breakdown: re-run the solve once under the XLA
         # profiler, attribute device self-times to the solver's phase
         # scopes (profiling.measure_breakdown). Falls back to the
@@ -365,14 +369,41 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             measured = measure_breakdown(_run_solve)
         except Exception:
             measured = {}
-        if measured:
+        if not measured:
+            measured = _tb(Aop, K, stats, mmax=p.max_basis_size,
+                           blk=p.max_block_size,
+                           cwin=min(p.max_basis_size, k + p.max_block_size),
+                           dtype=(dtype or Aop.dtype), n=n)
+            measured["time_source"] = "estimated"
+        if time_breakdown and return_stats:
             stats.update(measured)
-        else:
-            stats = _tb(Aop, K, stats, mmax=p.max_basis_size,
-                        blk=p.max_block_size,
-                        cwin=min(p.max_basis_size, k + p.max_block_size),
-                        dtype=(dtype or Aop.dtype), n=n)
-            stats["time_source"] = "estimated"
+    if profile:
+        # primme.profile parity (src/include/common.h:355-398): the
+        # regex selects named scopes, and every match is reported
+        # through the monitor as a primme_event_profile event (enum 7,
+        # include/primme_eigs.h:80-89) carrying the scope's measured
+        # device self-time — plus a stats['profile'] table.
+        import re as _re
+        pat = _re.compile(profile)
+        scope_key = {"pt_matvec": "time_matvec",
+                     "pt_precond": "time_precond",
+                     "pt_ortho": "time_ortho",
+                     "pt_dense": "time_dense",
+                     "pt_other": "time_other"}
+        prof = {sc: float(measured.get(tk, 0.0))
+                for sc, tk in scope_key.items() if pat.search(sc)}
+        stats["profile"] = prof
+        stats["time_source"] = measured.get("time_source", "measured")
+        if mon is not None:
+            z9 = np.zeros(0)
+            for name_, secs in prof.items():
+                try:
+                    mon(7, 0, stats.get("num_matvecs", 0), 0, 0, 0, 0,
+                        z9, z9, msg=name_, time=secs)
+                except TypeError:
+                    # monitor predates the profile extension (no
+                    # msg/time kwargs) — events stay in stats['profile']
+                    break
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}

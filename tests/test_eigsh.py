@@ -519,3 +519,32 @@ def test_segmented_solve_bit_identical():
     assert int(r1.stats.num_matvecs) == int(r2.stats.num_matvecs)
     truth = np.sort(np.linalg.eigvalsh(Ad))[:5]
     assert np.abs(np.sort(np.asarray(r2.evals)) - truth).max() < 1e-8
+
+
+def test_profile_event_stream():
+    """primme.profile parity (common.h:355-398): profile=regex selects
+    named scopes and reports each through the monitor as a
+    primme_event_profile (7) event with its measured device self-time;
+    stats['profile'] carries the same table."""
+    import scipy.sparse as sp
+    n = 400
+    A = sp.diags([np.linspace(1, 40, n), 0.4 * np.ones(n - 1),
+                  0.4 * np.ones(n - 1)], [0, 1, -1]).tocsr()
+    events = []
+
+    def mon(event, *args, msg=None, time=None, **kw):
+        if int(event) == 7:
+            events.append((msg, time))
+
+    from primme_tpu import eigsh
+    _, _, st = eigsh(A, k=4, which="SA", tol=1e-8, jacobi=True,
+                     return_stats=True, monitor=mon,
+                     profile=r"matvec|ortho")
+    names = {m for m, _ in events}
+    assert names == {"pt_matvec", "pt_ortho"}, names
+    assert set(st["profile"]) == {"pt_matvec", "pt_ortho"}
+    assert all(t >= 0.0 for _, t in events)
+    # a non-matching regex selects nothing
+    _, _, st2 = eigsh(A, k=4, which="SA", tol=1e-8, return_stats=True,
+                      profile=r"nomatch_xyz")
+    assert st2["profile"] == {}
