@@ -286,8 +286,10 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             # (err 2.8e-3) where mbs 64 finds all four to 1.6e-15 —
             # the deep default is therefore bounded to nn <= 512.
             if not ncv:
-                p1 = p1.with_(max_basis_size=min(nn, 96 if nn <= 512
-                                                 else 64))
+                import os as _os
+                depth = int(_os.environ.get("PTPU_SVDS_SM_DEPTH", "0")) \
+                    or (96 if nn <= 512 else 64)
+                p1 = p1.with_(max_basis_size=min(nn, depth))
             if not maxBlockSize:
                 p1 = p1.with_(max_block_size=max(1, min(4, k)))
         meth1 = methodStage1 or Method.DEFAULT_MIN_MATVECS
