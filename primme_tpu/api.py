@@ -425,13 +425,20 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
          method: Optional[Any] = None, maxMatvecs: Optional[int] = None,
          OPinv: Any = None, raise_for_unconverged: bool = True,
          seed: int = 0, maxInnerIterations: Optional[int] = None,
-         segment_outer: Optional[int] = None):
+         segment_outer: Optional[int] = None,
+         locking: Optional[bool] = None, maxBlockSize: int = 0,
+         lock: Any = None):
     """Eigenpairs of a *normal* (non-Hermitian, A A^H = A^H A) operator —
     complex Ritz values. The analogue of the reference's
     ``dprimme_normal``/``zprimme_normal`` entry points
     (``include/primme_eigs.h:390``, KIND(N) axis of
-    ``src/eigs/template_normal.h``). ``which`` in {'LM','SM','LR','SR'}
-    ('SM' is closest to ``sigma`` in modulus).
+    ``src/eigs/template_normal.h``). ``which`` in
+    {'LM','SM','LR','SR','CGT','CLT'} ('SM' is closest to ``sigma`` in
+    modulus; 'CGT'/'CLT' order by REAL part >= / <= ``sigma`` — the one
+    total order consistent with the Hermitian definition of these
+    targets). ``lock`` passes orthogonal-constraint vectors
+    (numOrthoConst), ``locking`` enables hard locking, ``maxBlockSize``
+    the block width — the same axes the Hermitian surface exposes.
 
     GD-type corrections, or — for the JD presets (``method='JDQMR'`` etc.)
     — an inner projected block-GMRES correction solver with complex
@@ -440,19 +447,24 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
     Aop = aslinearoperator(A)
     n = Aop.shape[0]
     wmap = {"LM": Target.largest_abs, "SM": Target.closest_abs,
-            "LR": Target.largest, "SR": Target.smallest}
+            "LR": Target.largest, "SR": Target.smallest,
+            "CGT": Target.closest_geq, "CLT": Target.closest_leq}
     which = which.upper()
     if which not in wmap:
         raise ValueError(f"which must be one of {sorted(wmap)}")
     target = wmap[which]
     shifts = ()
-    if target in (Target.closest_abs, Target.largest_abs):
+    if target in (Target.closest_abs, Target.largest_abs,
+                  Target.closest_geq, Target.closest_leq):
         shifts = (float(sigma) if sigma is not None else 0.0,)
 
     cdt = jnp.promote_types(Aop.dtype, jnp.complex64)
 
     p = PrimmeParams(n=n, num_evals=k, target=target, target_shifts=shifts,
                      eps=float(tol), max_basis_size=(ncv or 0),
+                     max_block_size=maxBlockSize,
+                     locking=(prm.UNSET if locking is None else
+                              int(locking)),
                      hermitian=False, rng_seed=seed)
     if maxiter is not None:
         p = p.with_(max_outer_iterations=int(maxiter))
@@ -478,9 +490,20 @@ def eigs(A: Any, k: int = 6, which: str = "LM", sigma: Optional[float] = None,
         v0j = jnp.asarray(np.asarray(v0), cdt)
         if v0j.ndim == 1:
             v0j = v0j[:, None]
+    oc = None
+    if lock is not None:
+        oc = jnp.asarray(np.asarray(lock), cdt)
+        if oc.ndim == 1:
+            oc = oc[:, None]
+        if oc.ndim != 2 or oc.shape[0] != n:
+            raise ValueError(
+                f"lock= must be an [n, c] array of orthogonal-constraint "
+                f"vectors (n={n}); for hard locking pass locking=True")
+        p = p.with_(num_ortho_const=int(oc.shape[1]))
+        p = resolve_defaults(p)
 
-    res = solve_eigs(Aop, p, K=K, v0=v0j, dtype=cdt, inner_solve=inner,
-                     segment_outer=segment_outer)
+    res = solve_eigs(Aop, p, K=K, v0=v0j, ortho_const=oc, dtype=cdt,
+                     inner_solve=inner, segment_outer=segment_outer)
 
     resnorms = np.asarray(res.resnorms)
     if raise_for_unconverged:

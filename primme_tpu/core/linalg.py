@@ -331,6 +331,15 @@ def target_sort_keys(w: jax.Array, target: Target, shifts: jax.Array,
             return d
         if target == Target.largest_abs:
             return -d
+        # geq/leq order complex Ritz values by REAL part relative to the
+        # shift (the one total order consistent with the Hermitian case,
+        # where these targets are defined; modulus has no geq/leq)
+        dr = jnp.real(w) - jnp.real(s)
+        big = jnp.asarray(jnp.finfo(jnp.real(w).dtype).max / 8, dr.dtype)
+        if target == Target.closest_geq:
+            return jnp.where(dr >= 0, dr, big - dr)
+        if target == Target.closest_leq:
+            return jnp.where(dr <= 0, -dr, big + dr)
         raise ValueError(f"{target} unsupported for normal operators")
     if target == Target.smallest:
         return w

@@ -276,19 +276,23 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
             # (Measured on test_204: finds 4/4 null members in ~30k
             # matvecs where the reference's augmented stage-2 grind spends
             # 162k and returns 2/4.)
-            # Depth choice measured on the reference corpus (round 4):
-            # for SMALL problems a deep basis is a near-direct solve —
-            # lund_b (nn=147) SM k5 7e-12 drops from 161,569 total
-            # matvecs (mbs 64) to ~20k (mbs 96, 7x under the
-            # reference's ~140-157k). At larger nn the deeper basis is
-            # NOT safe: rect.mtx (nn=1000) SM k5 7e-12 with mbs 96
-            # returns only 1 of the 4 near-null 1e-9 singular values
-            # (err 2.8e-3) where mbs 64 finds all four to 1.6e-15 —
-            # the deep default is therefore bounded to nn <= 512.
+            # Depth choice MEASURED (round 5) on synthetic rect-class
+            # fixtures — (nn+1) x nn with a near-null quadruple at
+            # 1.5e-9 — at nn in {147, 256, 384, 512, 640, 1000}
+            # (BASELINE.md "svds-SM stage-1 depth"): the deep basis is
+            # REQUIRED at small nn (depth 64 misses a quadruple member
+            # at nn=147 and nn=256) and UNSOUND at large nn (depth 96
+            # returns a spurious extra tiny value or misses a member on
+            # 4 of 5 runs across nn in {384, 512}, and finds only 1/4
+            # at rect.mtx's nn=1000). The crossover sits between 256
+            # and 384; the rule is 96 for nn <= 256, else 64. The
+            # round-4 nn<=512 cliff placed 512-class problems on the
+            # unsound side. PTPU_SVDS_SM_DEPTH overrides for
+            # measurement/expert control.
             if not ncv:
                 import os as _os
                 depth = int(_os.environ.get("PTPU_SVDS_SM_DEPTH", "0")) \
-                    or (96 if nn <= 512 else 64)
+                    or (96 if nn <= 256 else 64)
                 p1 = p1.with_(max_basis_size=min(nn, depth))
             if not maxBlockSize:
                 p1 = p1.with_(max_block_size=max(1, min(4, k)))

@@ -94,3 +94,80 @@ def test_normal_jdqmr_interior(normal_matrix):
                        maxMatvecs=40000, return_stats=True)
     assert _match(vals, exp) < 1e-3 * np.abs(d).max()
     assert st["num_inner_iterations"] > 0
+
+
+def test_normal_locking_blocks(normal_matrix):
+    """Hard locking + blocked solve on KIND(N) — the Hermitian surface's
+    axes exercised on the normal path."""
+    A, d = normal_matrix
+    vals, vecs, st = eigs(A, k=8, which="LM", tol=1e-9, locking=True,
+                          maxBlockSize=2, maxMatvecs=20000,
+                          return_stats=True)
+    exp = d[np.argsort(-np.abs(d))][:8]
+    assert _match(vals, exp) < 1e-7 * np.abs(d).max()
+    assert st["num_locked"] > 0
+    R = A @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6 * np.abs(d).max()
+
+
+def test_normal_ortho_const_deflated_resume(normal_matrix):
+    """numOrthoConst on KIND(N): constrain a second solve to the first
+    solve's eigenvectors and get the NEXT largest-modulus values."""
+    A, d = normal_matrix
+    v1, x1 = eigs(A, k=3, which="LM", tol=1e-10, maxMatvecs=8000)
+    v2, x2 = eigs(A, k=3, which="LM", tol=1e-10, maxMatvecs=12000,
+                  lock=x1)
+    order = np.argsort(-np.abs(d))
+    assert _match(v1, d[order][:3]) < 1e-8 * np.abs(d).max()
+    assert _match(v2, d[order][3:6]) < 1e-7 * np.abs(d).max()
+    assert np.abs(x1.conj().T @ x2).max() < 1e-6
+
+
+def test_normal_cgt_clt():
+    """closest_geq/leq on complex Ritz values: ordered by REAL part
+    relative to sigma (the total order consistent with the Hermitian
+    definition; modulus admits no geq/leq). Rotation-block normal matrix
+    with well-separated real parts so the interior-style target resolves
+    the nearest conjugate pair."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    a = np.linspace(-1.0, 1.0, 30)          # separated real parts
+    b = 0.2 + 0.1 * rng.random(30)
+    blocks = [np.array([[a[j], b[j]], [-b[j], a[j]]]) for j in range(30)]
+    A = sp.block_diag(blocks).tocsr()
+    d = np.concatenate([a + 1j * b, a - 1j * b])
+    sigma = 0.25
+    vals, _ = eigs(A, k=2, which="CGT", sigma=sigma, tol=1e-9,
+                   maxMatvecs=40000, raise_for_unconverged=False)
+    geq = d[d.real >= sigma]
+    exp = geq[np.argsort(geq.real - sigma)][:2]
+    assert _match(vals, exp) < 1e-6 * np.abs(d).max()
+    vals2, _ = eigs(A, k=2, which="CLT", sigma=sigma, tol=1e-9,
+                    maxMatvecs=40000, raise_for_unconverged=False)
+    leq = d[d.real <= sigma]
+    exp2 = leq[np.argsort(sigma - leq.real)][:2]
+    assert _match(vals2, exp2) < 1e-6 * np.abs(d).max()
+
+
+def test_normal_n2k():
+    """KIND(N) at n=2048 (breadth: the reference's normal surface runs
+    at its tests' full problem sizes)."""
+    rng = np.random.default_rng(9)
+    n = 2048
+    # normal-by-construction without a dense n^2 eigendecomposition:
+    # block-diagonal rotation blocks give conjugate eigenpairs
+    # a_j +- i b_j; a sparse orthogonal similarity keeps matvecs cheap
+    import scipy.sparse as sp
+    a = rng.normal(size=n // 2) * 2.0
+    b = np.abs(rng.normal(size=n // 2)) * 2.0
+    blocks = [np.array([[a[j], b[j]], [-b[j], a[j]]])
+              for j in range(n // 2)]
+    A = sp.block_diag(blocks).tocsr()
+    d = np.concatenate([a + 1j * b, a - 1j * b])
+    # k even: |.| is 2-fold degenerate on conjugate pairs, so an odd k
+    # legitimately returns either member at the cut
+    vals, vecs = eigs(A, k=6, which="LM", tol=1e-9, maxMatvecs=30000)
+    exp = d[np.argsort(-np.abs(d))][:6]
+    assert _match(vals, exp) < 1e-7 * np.abs(d).max()
+    R = A @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6 * np.abs(d).max()

@@ -168,3 +168,25 @@ def test_svds_monitor_and_history(rect):
     for sgt, sval_rec in zip(h["stage"], h["svals"]):
         assert np.nanmax(np.abs(np.asarray(sval_rec, float))) < 3 * smax
     assert np.abs(np.sort(s) - sv[:3]).max() < 1e-7 * sv[-1]
+
+
+def test_sm_depth_rule_nn512():
+    """Depth-rule regression (BASELINE.md "svds-SM stage-1 depth"):
+    at nn=512 the deep (96) stage-1 basis returns spurious extra tiny
+    values or misses a quadruple member (measured on 3 seeds); the
+    production rule must keep nn=512 on the shallow side and find
+    EXACTLY the planted near-null quadruple."""
+    rng = np.random.default_rng(0)
+    nn = 512
+    m = nn + 1
+    sv = np.concatenate([np.full(4, 1.5e-9),
+                         np.linspace(1.0, 50.0, nn - 4)])
+    U, _ = np.linalg.qr(rng.normal(size=(m, nn)))
+    V, _ = np.linalg.qr(rng.normal(size=(nn, nn)))
+    A = (U * sv[None, :]) @ V.T
+    _, s, _, st = svds(A, k=5, which="SM", tol=7e-12, return_stats=True,
+                       maxiter=250000, raise_for_unconverged=False)
+    tiny = np.sort(s)[np.sort(s) < 1e-6]
+    assert len(tiny) == 4, np.sort(s)
+    assert np.abs(tiny - 1.5e-9).max() < 1e-10
+    assert abs(np.sort(s)[4] - 1.0) < 1e-6
