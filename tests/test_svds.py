@@ -190,3 +190,25 @@ def test_sm_depth_rule_nn512():
     assert len(tiny) == 4, np.sort(s)
     assert np.abs(tiny - 1.5e-9).max() < 1e-10
     assert abs(np.sort(s)[4] - 1.0) < 1e-6
+
+
+def test_augmented_rect_sm_honest():
+    """Pure-augmented SM on a rectangular matrix: the augmented operator
+    has |m-n| genuine null vectors that are not singular triplets. The
+    reference returns an EMPTY result on this config; this framework
+    reports any null artifact slot honestly as NaN/inf (and raises by
+    default) instead of returning sigma~0 'triplets'."""
+    rng = np.random.default_rng(7907*0 + 40 + 3*30)
+    sv = np.linspace(1.0, 20.0, 30)
+    U = np.linalg.qr(rng.normal(size=(40, 30)))[0]
+    V = np.linalg.qr(rng.normal(size=(30, 30)))[0]
+    A = (U * sv[None, :]) @ V.T
+    u, s, vt, st = svds(A, k=3, which="SM", tol=1e-9, method="augmented",
+                        maxiter=60000, return_stats=True,
+                        raise_for_unconverged=False)
+    good = np.isfinite(s) & np.isfinite(st["resnorms"])
+    # every FINITE returned value is a true singular value; no sigma~0
+    # artifact is reported as converged
+    for v in s[good]:
+        assert np.abs(sv - v).min() < 1e-6
+    assert not np.any(s[good] < 0.5)

@@ -134,3 +134,102 @@ def test_grid(n, k, method, which, family, seed):
         f"{method.name} n={n} k={k} {which} {family} s{seed}: {err:.2e}"
     G = vecs.conj().T @ vecs
     assert np.abs(G - np.eye(k)).max() < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Generalized pencils A x = lambda B x (the testi grid's missing axis;
+# reference exercises generalized configs through tests/lund_*.mtx)
+# ---------------------------------------------------------------------------
+
+def _make_pencil(n, fam, seed):
+    rng = np.random.default_rng(104729 * seed + 17 * n
+                                + ["diagmass", "tridiagmass"].index(fam))
+    A, _ = _from_spectrum(np.linspace(1.0, 30.0, n), rng)
+    if fam == "diagmass":
+        B = np.diag(rng.uniform(0.5, 2.0, size=n))
+    else:
+        B = np.asarray(sp.diags([np.full(n, 4.0), np.ones(n - 1),
+                                 np.ones(n - 1)], [0, 1, -1]).todense()) / 4
+    import scipy.linalg as sla
+    ref = sla.eigh(A, B, eigvals_only=True)
+    return A, B, np.sort(ref)
+
+
+_GEN_METHODS = [Method.DEFAULT_MIN_MATVECS, Method.GD_plusK,
+                Method.GD_Olsen_plusK, Method.JDQMR, Method.JDQMR_ETol,
+                Method.LOBPCG_OrthoBasis]
+
+_GEN_CASES = (
+    [(48, 5, m, w, fam, seed)
+     for m in _GEN_METHODS for w in ("SA",)
+     for fam in ("diagmass", "tridiagmass") for seed in (0, 1)]
+    + [(100, 10, Method.GD_Olsen_plusK, "SA", fam, seed)
+       for fam in ("diagmass", "tridiagmass") for seed in (0, 1)]
+    + [(48, 5, Method.GD_plusK, "LA", fam, seed)
+       for fam in ("diagmass", "tridiagmass") for seed in (0, 1)]
+)
+
+
+@pytest.mark.parametrize(
+    "n,k,method,which,family,seed", _GEN_CASES,
+    ids=[f"gen-{m.name}-n{n}-k{k}-{w}-{f}-s{s}"
+         for (n, k, m, w, f, s) in _GEN_CASES])
+def test_grid_generalized(n, k, method, which, family, seed):
+    A, B, ref = _make_pencil(n, family, seed)
+    vals, vecs = eigsh(A, M=B, k=k, which=which, tol=1e-8, method=method,
+                       maxMatvecs=20000, raise_for_unconverged=False)
+    expect = ref[:k] if which == "SA" else ref[-k:]
+    err = np.abs(np.sort(vals) - np.sort(expect)).max()
+    assert err < 1e-6 * max(1.0, np.abs(ref).max()), \
+        f"gen {method.name} n={n} k={k} {which} {family} s{seed}: {err:.2e}"
+    # B-orthonormal eigenvectors
+    G = vecs.conj().T @ (B @ vecs)
+    assert np.abs(G - np.eye(k)).max() < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# svds rows (two-stage driver over shapes x methods x targets)
+# ---------------------------------------------------------------------------
+
+def _make_rect(m, n, seed):
+    rng = np.random.default_rng(7907 * seed + m + 3 * n)
+    sv = np.linspace(1.0, 20.0, min(m, n))
+    U = np.linalg.qr(rng.normal(size=(m, min(m, n))))[0]
+    V = np.linalg.qr(rng.normal(size=(n, min(m, n))))[0]
+    return (U * sv[None, :]) @ V.T, np.sort(sv)
+
+
+_SVDS_CASES = (
+    [(40, 30, 3, w, meth, seed)
+     for meth in ("hybrid", "normalequations")
+     for w in ("LM", "SM") for seed in (0, 1)]
+    + [(40, 30, 3, "LM", "augmented", seed) for seed in (0, 1)]
+    # pure-augmented SM needs a square matrix: with m != n the
+    # augmented operator has |m - n| genuine null vectors and neither
+    # this framework nor the reference can deliver the smallest
+    # triplets through that mode (the reference returns an EMPTY
+    # result; we return honest NaN/inf slots — see svds.py)
+    + [(40, 40, 3, "SM", "augmented", seed) for seed in (0, 1)]
+    + [(60, 80, 3, w, "hybrid", seed)     # wide: AAt path
+       for w in ("LM", "SM") for seed in (0, 1)]
+    + [(80, 60, 1, "LM", meth, seed)
+       for meth in ("hybrid", "augmented") for seed in (0, 1)]
+    + [(80, 60, 6, "LM", "hybrid", seed) for seed in (0, 1)]
+)
+
+
+@pytest.mark.parametrize(
+    "m,n,k,which,method,seed", _SVDS_CASES,
+    ids=[f"svds-{meth}-{m}x{n}-k{k}-{w}-s{s}"
+         for (m, n, k, w, meth, s) in _SVDS_CASES])
+def test_grid_svds(m, n, k, which, method, seed):
+    from primme_tpu import svds
+    A, sv = _make_rect(m, n, seed)
+    U, s, Vt = svds(A, k=k, which=which, tol=1e-9, method=method,
+                    maxiter=60000, raise_for_unconverged=False)
+    expect = sv[-k:] if which == "LM" else sv[:k]
+    err = np.abs(np.sort(s) - np.sort(expect)).max()
+    assert err < 1e-6 * sv[-1], \
+        f"svds {method} {m}x{n} k={k} {which} s{seed}: {err:.2e}"
+    R = A @ Vt.conj().T - U * s[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-5 * sv[-1]
