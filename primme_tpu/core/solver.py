@@ -935,12 +935,14 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         return (t < _PROBE_ITERS) & ~found
 
     def step(carry):
-        P, WP, BP, w, t, found, Xb, Z, key, mv, npc, prev_key, stall = carry
+        (P, WP, BP, w, t, found, Xb, Z, key, mv, npc, prev_key, stall,
+         Hp) = carry
 
         def compress(args):
-            P, WP, BP, w = args
-            Hp = gram(P, WP)
-            Hp = 0.5 * (Hp + _herm(Hp))
+            # thick-restart truncation reuses the CARRIED projected
+            # matrix (incrementally maintained below) — no [n, pw] Gram
+            # recompute; the rotated Hp is a tiny pw^2 matmul
+            P, WP, BP, w, Hp = args
             solc = solve_H_rr(Hp, w, cfg.target, shifts, sidx)
             kk = pw - blk
             C = (solc.hvecs[:, :kk]
@@ -949,11 +951,13 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             WPn = jnp.zeros_like(WP).at[:, :kk].set(bcomb(WP, C))
             BPn = (jnp.zeros_like(BP).at[:, :kk].set(bcomb(BP, C))
                    if has_B else BP)
+            Hn = jnp.zeros_like(Hp).at[:kk, :kk].set(
+                _herm(C) @ (Hp @ C))
             wn = jnp.minimum(w, _i32(kk))
-            return Pn, WPn, BPn, wn
+            return Pn, WPn, BPn, wn, Hn
 
-        P, WP, BP, w = jax.lax.cond(w + blk > pw, compress,
-                                    lambda a: a, (P, WP, BP, w))
+        P, WP, BP, w, Hp = jax.lax.cond(w + blk > pw, compress,
+                                        lambda a: a, (P, WP, BP, w, Hp))
         key, kk2 = jax.random.split(key)
         # Renormalize after deflation: the one-sided Chebyshev amplifies
         # the FAR end of the band most (exponentially in degree), so the
@@ -1004,12 +1008,23 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # values can sort under the bar (measured: n=17/k=16 churned to
         # the round cap on exactly these). Re-deflating certifies: a
         # genuine complement direction keeps norm ~1, noise re-deflates
-        # to ~eps.
-        cert = ores.X - bcomb(s.V, gram(BVd, ores.X))
-        if has_locked:
-            cert = la.prefix_project(
-                s.Bevecs if has_B else s.evecs, s.evecs, cert, lcount)
-        cn2p = jnp.real(jnp.sum(cert.conj() * cert, axis=0))
+        # to ~eps. The hazard class is EXACTLY block_ortho's random
+        # replacements (ores.n_random > 0): untouched columns are
+        # combinations of the already-deflated Zd whose V-overlap is
+        # bounded by the CGS residual — re-deflation of those is two
+        # [n, |V|] passes of pure cost, skipped via lax.cond.
+        def full_cert(_):
+            cert = ores.X - bcomb(s.V, gram(BVd, ores.X))
+            if has_locked:
+                cert = la.prefix_project(
+                    s.Bevecs if has_B else s.evecs, s.evecs, cert,
+                    lcount)
+            return jnp.real(jnp.sum(cert.conj() * cert, axis=0))
+
+        cn2p = jax.lax.cond(
+            ores.n_random > 0, full_cert,
+            lambda _: jnp.real(jnp.sum(ores.X.conj() * ores.X, axis=0)),
+            0)
         srtp = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
                            + _BIG * ~(cn2p >= 0.25))   # NaN -> dropped
         srvp = _i32(jnp.sum((cn2p >= 0.25).astype(jnp.int32)))
@@ -1022,10 +1037,19 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         BP = _dus(BP, BXs.astype(cdt), 0, w) if has_B else BP
         Y = _mv(A, Xs)
         WP = _dus(WP, Y.astype(cdt), 0, w)
-        w = _i32(w + srvp)
         mv = _i32(mv + blk)
-        Hp = gram(P, WP)
-        Hp = 0.5 * (Hp + _herm(Hp))
+        # Incremental projected-matrix update (replaces a full
+        # gram(P, WP) per iteration): the new columns' Gram column
+        # G = P^H Y lands at [:, w:w+blk], and its Hermitian transpose
+        # at [w:w+blk, :] (A Hermitian — the probe only runs for
+        # Hermitian problems; for generalized B the basis is
+        # B-orthonormal so P^H W is Hermitian too). Rows/columns beyond
+        # the active width stay exactly zero: dropped columns are zero
+        # vectors and P's inactive columns are zero.
+        G = gram(P, Y.astype(cdt))   # P already holds the new columns
+        Hp = _dus(Hp, G, 0, w)
+        Hp = _dus(Hp, _herm(G), w, 0)
+        w = _i32(w + srvp)
         sol = solve_H_rr(Hp, w, cfg.target, shifts, sidx)
         hb = sol.hvals[:blk]
         keys = target_sort_keys(hb, cfg.target, shifts, sidx).astype(rdt)
@@ -1116,13 +1140,14 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         t_next = jnp.where((srvp == 0) | clean_conv,
                            _i32(_PROBE_ITERS), _i32(t + 1))
         return (P, WP, BP, w, t_next, found | found2, Xb, Z2, key, mv,
-                npc, jnp.minimum(prev_key, keys[0]), stall2)
+                npc, jnp.minimum(prev_key, keys[0]), stall2, Hp)
 
     carry = (P0, WP0, BP0, z, z, jnp.zeros((), jnp.bool_),
              jnp.zeros((n, blk), cdt), Z0, key, mv0, z,
-             jnp.asarray(jnp.finfo(rdt).max, rdt), z)
+             jnp.asarray(jnp.finfo(rdt).max, rdt), z,
+             jnp.zeros((pw, pw), cdt))
     carry = jax.lax.while_loop(cond, step, carry)
-    (_, _, _, _, _, found, Xb, _, _, mv, npc, _, _) = carry
+    (_, _, _, _, _, found, Xb, _, _, mv, npc, _, _, _) = carry
     return ProbeResult(found=found, X=Xb, num_matvecs=mv, num_preconds=npc,
                        valid=valid0, bnd_hi=bnd_hi, bnd_lo=bnd_lo,
                        bnds_set=bnds_set)
