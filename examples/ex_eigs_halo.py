@@ -17,9 +17,16 @@ Run with real TPU chips, or simulate with
 import os
 import sys
 
+# The axon TPU plugin overrides the JAX_PLATFORMS environment variable,
+# so pin the platform via jax.config (PTPU_PLATFORM=tpu to target real
+# chips); the virtual 8-device CPU mesh needs
+# XLA_FLAGS=--xla_force_host_platform_device_count=8 in the environment.
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("PTPU_PLATFORM", "cpu"))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import numpy as np
 import scipy.sparse as sp
 from jax.sharding import Mesh

@@ -7,6 +7,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# f64 examples (the reference's examples are double-precision sequential
+# C programs). The axon TPU plugin overrides JAX_PLATFORMS, so the
+# platform must be pinned via jax.config (same as primme_tpu.driver);
+# set PTPU_PLATFORM=tpu to run the f32-capable parts on the accelerator.
+jax.config.update("jax_platforms", os.environ.get("PTPU_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import scipy.sparse as sp
 
