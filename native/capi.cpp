@@ -254,6 +254,82 @@ int ptpu_eigsh_run(long long h, long long n, long long nnz,
   return call_int("eigsh_run", args);
 }
 
+// --- svds parameter-object surface -----------------------------------------
+// The primme_svds_params_create / primme_svds_set_method /
+// primme_svds_set_member analogue (include/primme_svds.h), over the
+// svds reflection layer including the embedded primme.* /
+// primmeStage2.* stage labels.
+
+long long ptpu_svds_params_create(void) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *r = PyObject_CallMethod(g_mod, "svds_params_create", nullptr);
+  long long h = -101;
+  if (r && PyLong_Check(r)) h = PyLong_AsLongLong(r);
+  if (!r) fetch_pyerr("svds_params_create raised");
+  Py_XDECREF(r);
+  PyGILState_Release(g);
+  return h;
+}
+
+int ptpu_svds_params_free(long long h) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(L)", h);
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_params_free", args);
+}
+
+int ptpu_svds_params_set(long long h, const char *label, const char *value) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(Lss)", h, label ? label : "",
+                                 value ? value : "");
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_params_set", args);
+}
+
+// primme_svds_set_method(method, methodStage1, methodStage2) analogue;
+// empty strings keep per-method defaults.
+int ptpu_svds_params_set_method(long long h, const char *method,
+                                const char *m1, const char *m2) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(Lsss)", h, method ? method : "",
+                                 m1 ? m1 : "", m2 ? m2 : "");
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_params_set_method", args);
+}
+
+int ptpu_svds_params_get(long long h, const char *label, double *out) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue("(LsL)", h, label ? label : "", addr(out));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_params_get", args);
+}
+
+// Parameterized svds run (the dprimme_svds(svals, svecs, resNorms,
+// params) call shape): svals/resnorms [numSvals], U [m*k], V [n*k]
+// column-major.
+int ptpu_svds_run(long long h, long long m, long long n, long long nnz,
+                  const long long *indptr, const long long *indices,
+                  const double *data, double *svals, double *u, double *v,
+                  double *resnorms) {
+  if (ensure_init()) return -100;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject *args = Py_BuildValue(
+      "(LLLLLLLLLLL)", h, m, n, nnz, addr(indptr), addr(indices), addr(data),
+      addr(svals), addr(u), addr(v), addr(resnorms));
+  PyGILState_Release(g);
+  if (!args) return -102;
+  return call_int("svds_run", args);
+}
+
 // --- F77 bindings ----------------------------------------------------------
 // All-pointer arguments; `target` uses the primme_target integer order
 // (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs, 4 closest_geq,
@@ -330,6 +406,41 @@ void ptpu_eigsh_run_(const long long *h, const long long *n,
                      int *ierr) {
   *ierr = ptpu_eigsh_run(*h, *n, *nnz, indptr, indices, data, evals, evecs,
                          resnorms);
+}
+
+void ptpu_svds_params_create_(long long *h) { *h = ptpu_svds_params_create(); }
+
+void ptpu_svds_params_free_(const long long *h, int *ierr) {
+  *ierr = ptpu_svds_params_free(*h);
+}
+
+void ptpu_svds_params_set_(const long long *h, const char *label,
+                           const char *value, int *ierr, size_t llab,
+                           size_t lval) {
+  *ierr = ptpu_svds_params_set(*h, f_str(label, llab).c_str(),
+                               f_str(value, lval).c_str());
+}
+
+void ptpu_svds_params_set_method_(const long long *h, const char *method,
+                                  const char *m1, const char *m2, int *ierr,
+                                  size_t lm, size_t l1, size_t l2) {
+  *ierr = ptpu_svds_params_set_method(*h, f_str(method, lm).c_str(),
+                                      f_str(m1, l1).c_str(),
+                                      f_str(m2, l2).c_str());
+}
+
+void ptpu_svds_params_get_(const long long *h, const char *label,
+                           double *out, int *ierr, size_t llab) {
+  *ierr = ptpu_svds_params_get(*h, f_str(label, llab).c_str(), out);
+}
+
+void ptpu_svds_run_(const long long *h, const long long *m,
+                    const long long *n, const long long *nnz,
+                    const long long *indptr, const long long *indices,
+                    const double *data, double *svals, double *u, double *v,
+                    double *resnorms, int *ierr) {
+  *ierr = ptpu_svds_run(*h, *m, *n, *nnz, indptr, indices, data, svals, u, v,
+                        resnorms);
 }
 
 }  // extern "C"

@@ -35,6 +35,17 @@ extern void ptpu_eigsh_csr_(const long long *n, const long long *nnz,
                             const double *sigma, double *evals, double *evecs,
                             double *resnorms, int *ierr);
 extern const char *ptpu_last_error(void);
+extern long long ptpu_svds_params_create(void);
+extern int ptpu_svds_params_free(long long h);
+extern int ptpu_svds_params_set(long long h, const char *label,
+                                const char *value);
+extern int ptpu_svds_params_set_method(long long h, const char *method,
+                                       const char *m1, const char *m2);
+extern int ptpu_svds_params_get(long long h, const char *label, double *out);
+extern int ptpu_svds_run(long long h, long long m, long long n, long long nnz,
+                         const long long *indptr, const long long *indices,
+                         const double *data, double *svals, double *u,
+                         double *v, double *resnorms);
 extern long long ptpu_params_create(void);
 extern int ptpu_params_free(long long h);
 extern int ptpu_params_set(long long h, const char *label, const char *value);
@@ -178,6 +189,39 @@ int main(void) {
     if (ptpu_params_free(h) != 0 || ptpu_params_free(h) == 0) {
       printf("params_free lifecycle broken\n"); return 1;
     }
+  }
+
+  { /* svds parameter-object surface: smallest triplets of the N x (N-20)
+     * slice through the primme_svds_params analogue */
+    static double svals[K], u[(long long)N * K], v[(long long)(N - 20) * K];
+    static double srn[K];
+    static long long ip2[N + 1], ix2[3 * N];
+    static double d2[3 * N];
+    long long p = 0, h;
+    double out = 0.0;
+    for (long long i = 0; i < N; i++) {
+      ip2[i] = p;
+      for (long long q = indptr[i]; q < indptr[i + 1]; q++)
+        if (indices[q] < N - 20) { ix2[p] = indices[q]; d2[p++] = data[q]; }
+    }
+    ip2[N] = p;
+    h = ptpu_svds_params_create();
+    if (h <= 0) { printf("svds_params_create: %s\n", ptpu_last_error()); return 1; }
+    rc = ptpu_svds_params_set(h, "numSvals", "3");
+    rc |= ptpu_svds_params_set(h, "eps", "1e-9");
+    rc |= ptpu_svds_params_set(h, "target", "primme_svds_smallest");
+    rc |= ptpu_svds_params_set(h, "primme.maxBlockSize", "2");
+    rc |= ptpu_svds_params_set_method(h, "primme_svds_hybrid", "", "JDQMR");
+    if (rc) { printf("svds_params_set: %s\n", ptpu_last_error()); return 1; }
+    rc = ptpu_svds_params_get(h, "numSvals", &out);
+    if (rc || out != 3.0) { printf("svds_params_get numSvals=%g\n", out); return 1; }
+    rc = ptpu_svds_run(h, N, N - 20, p, ip2, ix2, d2, svals, u, v, srn);
+    if (rc) { printf("svds_run rc=%d: %s\n", rc, ptpu_last_error()); return 1; }
+    printf("  svds_run svals: %.6f %.6f %.6f (smallest of the slice)\n",
+           svals[0], svals[1], svals[2]);
+    for (int i = 0; i < K; i++)
+      if (!(svals[i] > 0.0 && svals[i] < 1.0 && srn[i] < 1e-7)) bad++;
+    if (ptpu_svds_params_free(h) != 0) { printf("svds_params_free\n"); return 1; }
   }
 
   if (bad) { printf("FAILED (%d checks)\n", bad); return 1; }

@@ -361,6 +361,117 @@ def eigsh_run(h: int, n: int, nnz: int, indptr: int, indices: int,
         return _set_error(e)
 
 
+# ---------------------------------------------------------------------------
+# svds parameter-object surface: the primme_svds_params_create /
+# primme_svds_set_method / primme_svds_set_member analogue
+# (include/primme_svds.h) over the Python svds reflection layer
+# (SvdsParams + svds_set_member, including the embedded primme.* /
+# primmeStage2.* stage labels).
+# ---------------------------------------------------------------------------
+
+_SVDS_PARAMS: dict = {}
+
+
+def svds_params_create() -> int:
+    try:
+        from .svds import SvdsParams
+
+        h = _NEXT_HANDLE[0]
+        _NEXT_HANDLE[0] += 1
+        _SVDS_PARAMS[h] = {"sp": SvdsParams(), "m1": ""}
+        return h
+    except Exception as e:  # noqa: BLE001
+        _set_error(e)
+        return -1
+
+
+def svds_params_free(h: int) -> int:
+    if _SVDS_PARAMS.pop(int(h), None) is None:
+        global _last_error
+        _last_error = f"unknown svds params handle {h}"
+        return -1
+    return 0
+
+
+def svds_params_set(h: int, label: str, value: str) -> int:
+    """Set an svds member by reference label (``numSvals``, ``eps``,
+    ``target`` = primme_svds_largest/smallest/closest_abs or its int
+    code, and embedded ``primme.*`` / ``primmeStage2.*`` stage labels).
+    SvdsParams carries no problem-size-derived resolution, so calls
+    apply eagerly (validation at call time like the reference)."""
+    try:
+        from .svds import svds_set_member
+
+        st = _SVDS_PARAMS[int(h)]
+        st["sp"] = svds_set_member(st["sp"], label, value)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def svds_params_set_method(h: int, method: str, m1: str, m2: str) -> int:
+    """``primme_svds_set_method(method, methodStage1, methodStage2)``
+    analogue; empty strings keep the per-method defaults."""
+    try:
+        from .svds import svds_set_member
+        from .params import Method
+
+        st = _SVDS_PARAMS[int(h)]
+        if method:
+            st["sp"] = svds_set_member(st["sp"], "method", method)
+        if m2:
+            st["sp"] = svds_set_member(st["sp"], "methodStage2", m2)
+        if m1:
+            Method[str(m1).replace("PRIMME_", "")]  # validate now
+            st["m1"] = str(m1)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def svds_params_get(h: int, label: str, out: int) -> int:
+    try:
+        from .svds import svds_get_member
+
+        v = svds_get_member(_SVDS_PARAMS[int(h)]["sp"], label)
+        if isinstance(v, tuple):
+            v = v[0] if v else 0.0
+        if isinstance(v, str):
+            raise TypeError(f"{label} is a string member ({v!r}); the "
+                            f"numeric get surface cannot return it")
+        _arr(out, ctypes.c_double, 1)[0] = float(v)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
+def svds_run(h: int, m: int, n: int, nnz: int, indptr: int, indices: int,
+             data: int, svals: int, u: int, v: int, resnorms: int) -> int:
+    """Parameterized svds solve over a CSR matrix (the
+    ``dprimme_svds(svals, svecs, resNorms, params)`` call shape):
+    writes svals/resnorms [numSvals], U [m*k] and V [n*k] column-major."""
+    try:
+        from .svds import svds_from_params
+
+        st = _SVDS_PARAMS[int(h)]
+        extra = {"return_stats": True, "raise_for_unconverged": False}
+        if st["m1"]:
+            extra["methodStage1"] = st["m1"]
+        A = _csr(m, n, nnz, indptr, indices, data)
+        U, s, Vt, stats = svds_from_params(A, st["sp"], **extra)
+        k = st["sp"].num_svals
+        _arr(svals, ctypes.c_double, k)[:] = s
+        _arr(u, ctypes.c_double, m * k)[:] = np.asarray(
+            U, np.float64).reshape(-1, order="F")
+        _arr(v, ctypes.c_double, n * k)[:] = np.asarray(
+            Vt.conj().T, np.float64).reshape(-1, order="F")
+        _arr(resnorms, ctypes.c_double, k)[:] = np.asarray(
+            stats["resnorms"], np.float64)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        return _set_error(e)
+
+
 def svds_csr(m: int, n: int, nnz: int, indptr: int, indices: int,
              data: int, k: int, which, tol: float,
              svals: int, u: int, v: int) -> int:
