@@ -54,7 +54,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
           segment_outer: Optional[int] = None,
           verify_spectrum: Optional[int] = None,
           monitor_inner: bool = False,
-          profile: Optional[str] = None):
+          profile: Optional[str] = None, **primme_kwargs):
     """Find ``k`` eigenvalues/eigenvectors of the Hermitian operator ``A``
     (optionally generalized: ``A x = lambda M x``).
 
@@ -182,6 +182,12 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
                    has_mass=Mop is not None)
     if maxInnerIterations is not None:
         p = p.with_(max_inner_iterations=int(maxInnerIterations))
+    # reference-binding parity (primme.pyx:1446): unknown keyword
+    # arguments are primme_params labels routed through the reflection
+    # layer AFTER the method preset, so they override it — e.g.
+    # eigsh(A, relTolBase=1.5, restarting_maxPrevRetain=3)
+    for label_, val_ in primme_kwargs.items():
+        p = prm.set_member(p, label_, val_)
 
     v0j = None
     if v0 is not None:
