@@ -303,12 +303,12 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         if K is not None:
             K = CastOperator(K, wd)
 
-    def _run_solve():
+    def _run_solve(mon_=mon):
         if p.dynamic_method_switch:
             from .core.dynamic import solve_eigs_dynamic
             return solve_eigs_dynamic(
                 Aop, p, B=Mop, K=K, v0=v0j, ortho_const=oc, dtype=dtype,
-                has_precond=K is not None, shard=shard, monitor=mon,
+                has_precond=K is not None, shard=shard, monitor=mon_,
                 convtest=convtest)
         inner = None
         if p.max_inner_iterations != 0:
@@ -317,7 +317,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         itcap = 0
         # printLevel >= 4 reports inner iterations like the reference
         # (default_monitor, primme_c.c:602 at primme_event_inner_iteration)
-        if (monitor_inner or printLevel >= 4) and mon is not None \
+        if (monitor_inner or printLevel >= 4) and mon_ is not None \
                 and inner is not None:
             # bounded on-device replay buffer; beyond-cap iterations
             # overwrite the last slot (count still exact via num_inner)
@@ -325,7 +325,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
             itcap = min(mi, 128) if mi > 0 else 128
         return solve_eigs(Aop, p, B=Mop, K=K, v0=v0j,
                           ortho_const=oc, inner_solve=inner, dtype=dtype,
-                          monitor=mon, shard=shard, convtest=convtest,
+                          monitor=mon_, shard=shard, convtest=convtest,
                           segment_outer=segment_outer,
                           inner_trace_cap=itcap)
 
@@ -372,7 +372,10 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         from .profiling import measure_breakdown, time_breakdown as _tb
         measured: dict = {}
         try:
-            measured = measure_breakdown(_run_solve)
+            # the profiling RE-RUN must not replay the event stream into
+            # the user's monitor (it would duplicate every history
+            # record and monitor call)
+            measured = measure_breakdown(lambda: _run_solve(None))
         except Exception:
             measured = {}
         if not measured:

@@ -288,7 +288,11 @@ def params_get(h: int, label: str, out: int) -> int:
         from .params import get_member, constant_info
         import enum as _enum
 
-        v = get_member(_params_build(st, st["n"] or 1), label)
+        # when n is not yet known, replay against a LARGE placeholder so
+        # size clamps (maxBasisSize = min(n, ...) inside set_method /
+        # resolve) don't report n=1-clamped garbage; the run path always
+        # replays at the true matrix size
+        v = get_member(_params_build(st, st["n"] or (1 << 30)), label)
         if isinstance(v, _enum.Enum):
             val = None
             for pref in ("primme_", "primme_proj_", "primme_init_"):
@@ -314,7 +318,7 @@ def params_display(h: int) -> int:
         st = _PARAMS[int(h)]
         from .params import display_params
 
-        print(display_params(_params_build(st, st["n"] or 1)))
+        print(display_params(_params_build(st, st["n"] or (1 << 30))))
         return 0
     except Exception as e:  # noqa: BLE001
         return _set_error(e)

@@ -276,7 +276,10 @@ def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
     # the probe's wall time (the Chebyshev growth rate the degree
     # formula targets is e^{ln(4 sqrt n)/deg} per step, so 8 unguarded
     # steps cannot overflow even with badly wrong band bounds).
-    tail = blk - 1
+    # tail length never exceeds the remaining degree budget (wide blocks
+    # with a floor-clipped degree would otherwise run blk-1 extra,
+    # uncounted steps past the documented degree)
+    tail = jnp.minimum(blk - 1, degree - 1)
     steps_main = jnp.maximum(degree - 1 - tail, 0)
 
     def body(i, carry):
@@ -291,9 +294,10 @@ def _filtered_rand_block(cfg: SolveConfig, A, key, dtype, suppress_lo,
         _, yd = rescale(y0, y1)
         return yd
 
-    # Tail: the last blk-1 steps additionally collect each iterate into
-    # the start-block buffer (rescaled together so column magnitudes
-    # stay comparable).
+    # Tail: the last (up to) blk-1 steps additionally collect each
+    # iterate into the start-block buffer (rescaled together so column
+    # magnitudes stay comparable). Columns not reached stay zero and
+    # are replaced downstream by the probe's ortho pipeline.
     y0, y1 = rescale(y0, y1)
     buf0 = jnp.concatenate([jnp.zeros((n, blk - 1), dtype), y1], axis=1)
 
@@ -799,20 +803,31 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     valid0 = jnp.ones((), jnp.bool_)
     bnd_hi, bnd_lo = s.probe_bnd_hi, s.probe_bnd_lo
     bnds_set = s.probe_bnds_set
+    # fast_start: the start block provably carries O(1) weight of any
+    # missing member (a Chebyshev filter at its DESIGN degree) — the
+    # precondition for the slow-creep clean-round early exit. False for
+    # unfiltered starts (generalized B) and when the degree hit the 512
+    # clip (amplification below the 4*sqrt(n) design point).
+    fast_start = jnp.zeros((), jnp.bool_)
     if has_B:
         Z0, mv0 = _rand_block(kf, n, blk, cdt), z
     elif cfg.target == Target.largest_abs:
         # Two-sided |.| threshold (largest_abs): the suppression window
-        # is fixed by the bar itself — [bar + cut, -bar - cut] with
-        # bar = -|lambda_ne| — so no spectral-range estimates (and no
+        # is fixed by the bar and the target shift s — bar =
+        # -|lambda_ne - s|, candidates satisfy |lambda - s| > -bar, so
+        # suppress [s + bar + cut, s - bar - cut] (centred at s; s = 0
+        # for plain which='LM'). No spectral-range estimates (and no
         # power iterations) are involved; anything the filter amplifies
         # on EITHER side is a legitimate candidate direction, which also
         # removes the wrong-end failure mode the one-sided sanity check
         # guards, leaving only the finiteness condition.
+        sctr = jnp.real(shifts[jnp.minimum(sidx, shifts.shape[0] - 1)]
+                        ).astype(rdt) if shifts.shape[0] else \
+            jnp.zeros((), rdt)
         rdt_cut = jnp.maximum(8.0 * margin.astype(rdt),
                               1e-3 * jnp.maximum(-2.0 * bar, 0.0))
-        s_lo = (bar + rdt_cut).astype(rdt)
-        s_hi = ((-bar) - rdt_cut).astype(rdt)
+        s_lo = (sctr + bar + rdt_cut).astype(rdt)
+        s_hi = (sctr + (-bar) - rdt_cut).astype(rdt)
         width = jnp.maximum(s_hi - s_lo, jnp.asarray(1e-30, rdt))
         ac = jnp.arccosh(1.0 + 2.0 * rdt_cut / width)
         need = float(math.log(4.0 * math.sqrt(n)))
@@ -825,6 +840,7 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             lambda k: _rand_block(k, n, blk, cdt), kf)
         mv0 = jnp.where(okf, deg, z)
         valid0 = jnp.all(jnp.isfinite(Z0))
+        fast_start = okf & (deg < 512)
     else:
         emin, emax = s.stats.est_min_eval, s.stats.est_max_eval
         # the tracked estimates only cover Ritz values the solve has SEEN;
@@ -848,7 +864,6 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
 
         bnd_hi, bnd_lo, mvb = jax.lax.cond(
             bnds_set, lambda _: (bnd_hi, bnd_lo, z), fresh_bounds, 0)
-        bnds_set = jnp.ones((), jnp.bool_)
         emax_eff = jnp.maximum(emax, bnd_hi)
         emin_eff = (emin if cfg.target == Target.smallest
                     else jnp.minimum(emin, bnd_lo))
@@ -908,6 +923,14 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # a non-finite filtered start (overflow/NaN anywhere in the
         # chain) can never certify anything — the round is inconclusive
         valid0 = valid0 & jnp.all(jnp.isfinite(Z0))
+        # Cache the bounds ONLY when this round's filter-sanity check
+        # passed: an invalid round proves the bounds (power-iteration
+        # underestimate — the 1.15 cushion is not a guarantee) are
+        # wrong, and latching them would make every later round reuse
+        # the same bad band instead of re-measuring with fresh
+        # randomness (the pre-caching behavior, which self-healed).
+        bnds_set = bnds_set | valid0
+        fast_start = okf & (deg < 512)
 
     P0 = jnp.zeros((n, pw), cdt)
     WP0 = jnp.zeros((n, pw), cdt)
@@ -1129,7 +1152,11 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         gap = keys[0] - bar
         improved = (prev_key - keys[0]) > 0.10 * jnp.maximum(gap, margin)
         stall2 = jnp.where(improved, z, _i32(stall + 1))
-        clean_conv = (gap > margin) & (stall2 >= 3) & (t >= 8)
+        # gated on fast_start: the crash-vs-creep distinction only holds
+        # when the filtered start provably carries O(1) member weight
+        # (unfiltered generalized-B starts and degree-clipped filters
+        # must run the full budget)
+        clean_conv = (gap > margin) & (stall2 >= 3) & (t >= 8) & fast_start
         if os.environ.get("PTPU_PROBE_DEBUG") == "2":
             jax.debug.print(
                 "  it {t}: key0={k} bar={b} stall={s} srvp={v}",

@@ -235,3 +235,34 @@ def test_probe_unsupported_stat_interior():
     assert st["probe_unsupported"] == 1
     _, _, st2 = eigsh(A, k=3, which="SA", tol=1e-9, return_stats=True)
     assert st2["probe_unsupported"] == 0
+
+
+def test_probe_largest_abs_shifted_window():
+    """The largest_abs suppression window must be centred at the target
+    shift: with sigma != 0, 'farthest from sigma' candidates live at
+    |lambda - sigma| > |bar|, NOT |lambda| > |bar| — a zero-centred
+    window would suppress a missing member on the near side of sigma
+    and falsely verify. Planted: guesses missing one member of the
+    |.-sigma|-extreme cluster."""
+    from primme_tpu.params import Target
+    rng = np.random.default_rng(11)
+    n, k, sigma = 256, 5, 6.0
+    d = np.concatenate([
+        [-4.0, -4.0, 15.9, 15.8],     # |d-6|: 10, 10, 9.9, 9.8 -> targets
+        rng.uniform(2.0, 10.0, size=n - 4)])   # |d-6| <= 4: bulk
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    from primme_tpu.operators import aslinearoperator
+    Ad = Q @ np.diag(d) @ Q.T
+    A = aslinearoperator(jnp.asarray(0.5 * (Ad + Ad.T)))
+    # guesses: 4 of the 5 target directions (drop one -4 cluster member)
+    v0 = jnp.asarray(Q[:, [0, 2, 3]])
+    p = PrimmeParams(n=n, num_evals=4, eps=1e-10, max_basis_size=20,
+                     max_block_size=2, max_matvecs=40000, locking=0,
+                     target=Target.largest_abs, target_shifts=(sigma,),
+                     rng_seed=1)
+    p = set_method(Method.GD_Olsen_plusK, p, has_precond=False)
+    res = solve_eigs(A, p, v0=v0, dtype=jnp.float64)
+    got = np.sort(np.asarray(res.evals))
+    expect = np.sort(d[np.argsort(-np.abs(d - sigma))[:4]])
+    assert np.abs(got - expect).max() < 1e-7, (got, expect)
+    assert int(res.stats.probe_exhausted) == 0
