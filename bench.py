@@ -38,9 +38,9 @@ def main():
     K = JacobiPrecond(A.diagonal())
     # minRestartSize=14 > k: restarts keep all converged pairs plus room
     # (~25% fewer matvecs than the block-aligned default of 9);
-    # re-swept under the round-4 SOUND probe: 24/14 0.204 s / 26/16
-    # 0.226 s / 24/16 0.230 s. max_matvecs covers the verification
-    # probe rounds on top of the solve (~530 mv here, see
+    # re-swept under the round-5 probe: 24/14 0.153 s / 24/16 0.162 s /
+    # 28/14 0.161 s / 26/16 0.188 s. max_matvecs covers the
+    # verification probe rounds on top of the solve (~430 mv here, see
     # num_probe_matvecs in the output).
     p = PrimmeParams(n=n, num_evals=10, eps=1e-5, max_basis_size=24,
                      max_block_size=2, min_restart_size=14,
