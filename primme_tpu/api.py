@@ -185,8 +185,16 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     # reference-binding parity (primme.pyx:1446): unknown keyword
     # arguments are primme_params labels routed through the reflection
     # layer AFTER the method preset, so they override it — e.g.
-    # eigsh(A, relTolBase=1.5, restarting_maxPrevRetain=3)
+    # eigsh(A, relTolBase=1.5, restarting_maxPrevRetain=3). Structural
+    # labels are refused: they would silently desync the configuration
+    # from the operator and the k/n validation already performed.
     for label_, val_ in primme_kwargs.items():
+        if prm._canonical(label_) in ("n", "num_evals", "target",
+                                      "num_ortho_const"):
+            raise ValueError(
+                f"{label_!r} cannot be set through keyword forwarding — "
+                f"it is derived from the operator and the k=/which=/"
+                f"lock= arguments")
         p = prm.set_member(p, label_, val_)
 
     v0j = None

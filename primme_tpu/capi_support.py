@@ -422,7 +422,15 @@ def svds_params_set_method(h: int, method: str, m1: str, m2: str) -> int:
 
         st = _SVDS_PARAMS[int(h)]
         if method:
-            st["sp"] = svds_set_member(st["sp"], "method", method)
+            # reference ordering semantics (primme_svds_set_method
+            # resets the embedded stage configs before applying the
+            # preset): stage members set BEFORE the method call are
+            # cleared, members set AFTER it override the preset — same
+            # contract the eigsh handle surface keeps via ops replay
+            st["sp"] = svds_set_member(
+                st["sp"].with_(primme={}, primme_stage2={}),
+                "method", method)
+            st["m1"] = ""
         if m2:
             st["sp"] = svds_set_member(st["sp"], "methodStage2", m2)
         if m1:
@@ -435,14 +443,26 @@ def svds_params_set_method(h: int, method: str, m1: str, m2: str) -> int:
 
 def svds_params_get(h: int, label: str, out: int) -> int:
     try:
-        from .svds import svds_get_member
+        from .svds import (svds_get_member, _SVDS_TARGETS,
+                           _SVDS_METHODS)
 
         v = svds_get_member(_SVDS_PARAMS[int(h)]["sp"], label)
         if isinstance(v, tuple):
             v = v[0] if v else 0.0
         if isinstance(v, str):
-            raise TypeError(f"{label} is a string member ({v!r}); the "
-                            f"numeric get surface cannot return it")
+            # enum-valued string members round-trip as their reference
+            # constant codes (primme_svds_get_member returns the enum
+            # integer for these)
+            if v in _SVDS_TARGETS:
+                v = _SVDS_TARGETS.index(v)
+            elif v in _SVDS_METHODS:
+                v = _SVDS_METHODS.index(v)
+            elif v == "":
+                v = -1.0   # unset method_stage2
+            else:
+                raise TypeError(
+                    f"{label} is a string member ({v!r}); the numeric "
+                    f"get surface cannot return it")
         _arr(out, ctypes.c_double, 1)[0] = float(v)
         return 0
     except Exception as e:  # noqa: BLE001
@@ -458,6 +478,12 @@ def svds_run(h: int, m: int, n: int, nnz: int, indptr: int, indices: int,
         from .svds import svds_from_params
 
         st = _SVDS_PARAMS[int(h)]
+        sp_ = st["sp"]
+        if (sp_.m and int(sp_.m) != int(m)) or \
+                (sp_.n and int(sp_.n) != int(n)):
+            raise ValueError(
+                f"params m={sp_.m} n={sp_.n} do not match the matrix "
+                f"{m}x{n}")
         extra = {"return_stats": True, "raise_for_unconverged": False}
         if st["m1"]:
             extra["methodStage1"] = st["m1"]

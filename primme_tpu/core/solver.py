@@ -923,13 +923,13 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # a non-finite filtered start (overflow/NaN anywhere in the
         # chain) can never certify anything — the round is inconclusive
         valid0 = valid0 & jnp.all(jnp.isfinite(Z0))
-        # Cache the bounds ONLY when this round's filter-sanity check
-        # passed: an invalid round proves the bounds (power-iteration
-        # underestimate — the 1.15 cushion is not a guarantee) are
-        # wrong, and latching them would make every later round reuse
-        # the same bad band instead of re-measuring with fresh
-        # randomness (the pre-caching behavior, which self-healed).
-        bnds_set = bnds_set | valid0
+        # Cache the bounds ONLY while rounds validate them: an invalid
+        # round proves the band (power-iteration underestimate — the
+        # 1.15 cushion is not a guarantee) is wrong WHETHER it was fresh
+        # or cached, so the flag tracks this round's verdict and a bad
+        # cache is dropped for re-measurement with fresh randomness next
+        # round (the self-healing the pre-caching design had).
+        bnds_set = valid0
         fast_start = okf & (deg < 512)
 
     P0 = jnp.zeros((n, pw), cdt)
@@ -991,9 +991,20 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # with randomness. Restoring unit scale first keeps the member
         # direction; genuinely-dead columns stay ~0 and fail the
         # complement certification below.
+        nz_pre = jnp.sqrt(jnp.maximum(
+            jnp.real(jnp.sum(Z.conj() * Z, axis=0)), 0.0))
         Zd = deflate(Z)
         floor = jnp.asarray(jnp.finfo(real_dtype(cdt)).tiny * 1e10,
                             real_dtype(cdt))
+        nd_pre = jnp.sqrt(jnp.maximum(
+            jnp.real(jnp.sum(Zd.conj() * Zd, axis=0)), 0.0))
+        # a column whose deflated norm collapsed to a small FRACTION of
+        # its pre-deflation norm is renormalization-amplified residue:
+        # its direction may be single-pass-CGS roundoff with O(1)
+        # span(V) overlap, so the cheap certification path below is not
+        # sound for this iteration (see `suspect`)
+        defl_shrunk = jnp.any(nd_pre < 1e-2 * jnp.maximum(
+            nz_pre, jnp.finfo(real_dtype(cdt)).tiny))
 
         def _renorm(Y):
             yn = jnp.sqrt(jnp.maximum(
@@ -1031,11 +1042,14 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         # values can sort under the bar (measured: n=17/k=16 churned to
         # the round cap on exactly these). Re-deflating certifies: a
         # genuine complement direction keeps norm ~1, noise re-deflates
-        # to ~eps. The hazard class is EXACTLY block_ortho's random
-        # replacements (ores.n_random > 0): untouched columns are
-        # combinations of the already-deflated Zd whose V-overlap is
-        # bounded by the CGS residual — re-deflation of those is two
-        # [n, |V|] passes of pure cost, skipped via lax.cond.
+        # to ~eps. The hazard class is block_ortho's random replacements
+        # (ores.n_random > 0) AND renormalization-amplified deflation
+        # residue (defl_shrunk — a column that deflated to a tiny
+        # fraction of its norm may be pure CGS roundoff with O(1)
+        # span(V) overlap after renorm, invisible to block_ortho which
+        # never sees V). Only when NEITHER occurred are the columns
+        # provably combinations of well-conditioned deflated content,
+        # and the two [n, |V|] re-deflation passes are skipped.
         def full_cert(_):
             cert = ores.X - bcomb(s.V, gram(BVd, ores.X))
             if has_locked:
@@ -1045,7 +1059,7 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
             return jnp.real(jnp.sum(cert.conj() * cert, axis=0))
 
         cn2p = jax.lax.cond(
-            ores.n_random > 0, full_cert,
+            (ores.n_random > 0) | defl_shrunk, full_cert,
             lambda _: jnp.real(jnp.sum(ores.X.conj() * ores.X, axis=0)),
             0)
         srtp = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)

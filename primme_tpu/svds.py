@@ -728,8 +728,17 @@ def svds_set_member(sp: SvdsParams, name: str, value) -> SvdsParams:
     name = _svds_canonical(name)
     if name not in svds_member_names():
         raise KeyError(f"unknown primme_svds parameter: {name!r}")
-    if name == "target" and isinstance(value, (int, np.integer)):
-        value = _SVDS_TARGETS[int(value)]
+    if name == "target":
+        # accept the constant name, its integer code, or the code as a
+        # STRING (the C ABI surface passes every value as text) — and
+        # validate now, not at run time
+        if isinstance(value, str) and value.lstrip("-").isdigit():
+            value = int(value)
+        if isinstance(value, (int, np.integer)):
+            value = _SVDS_TARGETS[int(value)]
+        if value not in _SVDS_TARGETS:
+            raise ValueError(f"unknown svds target {value!r}; expected "
+                             f"one of {_SVDS_TARGETS} or its index")
     if name == "target_shifts":
         if isinstance(value, str):
             value = value.replace(",", " ").split()
@@ -797,11 +806,18 @@ def svds_from_params(A, sp: SvdsParams, **extra):
              "primme_svds_closest_abs": float(
                  sp.target_shifts[0]) if sp.target_shifts else 0.0
              }[sp.target]
+    s1, s2 = dict(sp.primme), dict(sp.primme_stage2)
+    if sp.locking >= 0:
+        # svds-level locking maps onto both embedded stage configs
+        # (primme_svds_params.locking is copied into the stage params by
+        # the reference's copy_last_params_from_svds)
+        s1.setdefault("locking", int(sp.locking))
+        s2.setdefault("locking", int(sp.locking))
     kw = dict(k=sp.num_svals, tol=sp.eps, which=which,
               method=(sp.method or "hybrid"), aNorm=sp.a_norm,
               maxBlockSize=sp.max_block_size, seed=sp.rng_seed,
-              stage1_params=dict(sp.primme) or None,
-              stage2_params=dict(sp.primme_stage2) or None)
+              stage1_params=s1 or None,
+              stage2_params=s2 or None)
     if sp.method_stage2:
         kw["methodStage2"] = sp.method_stage2
     if sp.max_matvecs:
