@@ -190,7 +190,7 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
     # from the operator and the k/n validation already performed.
     for label_, val_ in primme_kwargs.items():
         if prm._canonical(label_) in ("n", "num_evals", "target",
-                                      "num_ortho_const"):
+                                      "num_ortho_const", "hermitian"):
             raise ValueError(
                 f"{label_!r} cannot be set through keyword forwarding — "
                 f"it is derived from the operator and the k=/which=/"
@@ -412,15 +412,26 @@ def eigsh(A: Any, k: int = 6, M: Any = None, sigma: Optional[float] = None,
         stats["profile"] = prof
         stats["time_source"] = measured.get("time_source", "measured")
         if mon is not None:
-            z9 = np.zeros(0)
-            for name_, secs in prof.items():
-                try:
+            # only deliver to monitors whose SIGNATURE accepts the
+            # msg/time kwargs (primme_event_profile extension) — decided
+            # by inspection, not by catching TypeError, so a TypeError
+            # raised inside the monitor's body propagates instead of
+            # silently dropping the remaining events
+            import inspect as _inspect
+            try:
+                sig = _inspect.signature(mon)
+                takes_kw = all(
+                    kw in sig.parameters
+                    or any(pp.kind is _inspect.Parameter.VAR_KEYWORD
+                           for pp in sig.parameters.values())
+                    for kw in ("msg", "time"))
+            except (TypeError, ValueError):
+                takes_kw = True   # uninspectable callable: attempt it
+            if takes_kw:
+                z9 = np.zeros(0)
+                for name_, secs in prof.items():
                     mon(7, 0, stats.get("num_matvecs", 0), 0, 0, 0, 0,
                         z9, z9, msg=name_, time=secs)
-                except TypeError:
-                    # monitor predates the profile extension (no
-                    # msg/time kwargs) — events stay in stats['profile']
-                    break
     if return_history:
         stats["hist"] = {k_: (np.asarray(v_) if v_ and not isinstance(
             v_[0], np.ndarray) else v_) for k_, v_ in history.items()}

@@ -288,6 +288,11 @@ def params_get(h: int, label: str, out: int) -> int:
         from .params import get_member, constant_info
         import enum as _enum
 
+        if label == "n":
+            # report the stored value (0 = unset, like the reference's
+            # struct default) — never the internal replay placeholder
+            _arr(out, ctypes.c_double, 1)[0] = float(st["n"])
+            return 0
         # when n is not yet known, replay against a LARGE placeholder so
         # size clamps (maxBasisSize = min(n, ...) inside set_method /
         # resolve) don't report n=1-clamped garbage; the run path always
@@ -453,10 +458,16 @@ def svds_params_get(h: int, label: str, out: int) -> int:
             # enum-valued string members round-trip as their reference
             # constant codes (primme_svds_get_member returns the enum
             # integer for these)
+            from .params import Method
+
             if v in _SVDS_TARGETS:
                 v = _SVDS_TARGETS.index(v)
             elif v in _SVDS_METHODS:
                 v = _SVDS_METHODS.index(v)
+            elif v in Method.__members__:
+                # method_stage2 holds an EIGENSOLVER preset; return its
+                # primme_preset_method code
+                v = list(Method.__members__).index(v)
             elif v == "":
                 v = -1.0   # unset method_stage2
             else:

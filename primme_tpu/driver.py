@@ -116,9 +116,11 @@ def main(argv=None) -> int:
         if mv is not None:
             nmv = int(mv)
         elif isinstance(r.stats, dict):
+            # stage keys are "stageN_num_matvecs" (probe matvecs are a
+            # separate "stageN_num_probe_matvecs" subset counter and do
+            # not match this suffix)
             nmv = int(sum(v for kk, v in r.stats.items()
-                          if kk.endswith("_num_matvecs")
-                          and not kk.endswith("probe_matvecs")))
+                          if kk.endswith("_num_matvecs")))
     print(f"Tests: 1 Matvecs: {nmv} Time: {wall:.3f} s")
     if r.ok:
         print("solution check: OK")

@@ -407,6 +407,10 @@ def svds(A: Any, k: int = 6, ncv: Optional[int] = None, tol: float = 0.0,
                 lam = nrm / max(float(jnp.linalg.norm(x)), 1e-300)
                 x = (y / max(nrm, 1e-300)).astype(jnp.float32)
             anorm2 = float(np.sqrt(max(lam, 0.0)))
+        # the final raise_for_unconverged bar uses anorm_est — feed the
+        # power-iterated ||A|| back so a pure-augmented SM solve is not
+        # judged against a collapsed 10*eps*sigma_smallest threshold
+        anorm_est = max(anorm_est, anorm2)
         eps_eff = eps if eps > 0 else 1e4 * float(jnp.finfo(
             jnp.dtype(Aop.dtype)).eps)
         rdt = jnp.zeros((), Aop.dtype).real.dtype
@@ -735,6 +739,10 @@ def svds_set_member(sp: SvdsParams, name: str, value) -> SvdsParams:
         if isinstance(value, str) and value.lstrip("-").isdigit():
             value = int(value)
         if isinstance(value, (int, np.integer)):
+            if not 0 <= int(value) < len(_SVDS_TARGETS):
+                raise ValueError(
+                    f"svds target code {int(value)} out of range "
+                    f"0..{len(_SVDS_TARGETS) - 1}")
             value = _SVDS_TARGETS[int(value)]
         if value not in _SVDS_TARGETS:
             raise ValueError(f"unknown svds target {value!r}; expected "
@@ -750,8 +758,22 @@ def svds_set_member(sp: SvdsParams, name: str, value) -> SvdsParams:
             value = int(value)
         elif isinstance(cur, float):
             value = float(value)
-    if name in ("method", "method_stage2") and isinstance(value, str):
+    if name == "method" and isinstance(value, str):
+        # validate at set time like primme_svds_set_method (an unknown
+        # preset must not be reported as success to the C ABI caller)
         value = value.replace("primme_svds_", "")
+        if value not in _SVDS_METHODS:
+            raise ValueError(f"unknown svds method {value!r}; expected "
+                             f"one of {_SVDS_METHODS}")
+    if name == "method_stage2" and isinstance(value, str) and value:
+        # stage-2 presets are EIGENSOLVER methods (primme_preset_method);
+        # normalize + validate against the Method catalog now
+        from .params import Method
+        value = value.replace("PRIMME_", "")
+        if value not in Method.__members__:
+            raise ValueError(
+                f"unknown stage-2 method preset {value!r}; expected a "
+                f"primme_preset_method name")
     return sp.with_(**{name: value})
 
 

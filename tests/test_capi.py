@@ -41,6 +41,43 @@ def test_capi_end_to_end():
     assert "CAPI OK" in r.stdout
 
 
+def test_params_handle_surface_python_level():
+    """The Python half of the C parameter ABI, driven in-process: unset
+    ``n`` reads back 0 (the reference struct default), never the internal
+    replay placeholder; enum-valued svds members round-trip as reference
+    constant codes; invalid enum values fail at set time."""
+    import numpy as np
+    from primme_tpu import capi_support as cs
+
+    h = cs.params_create()
+    out = np.zeros(1)
+    assert cs.params_get(h, "n", out.ctypes.data) == 0
+    assert out[0] == 0.0
+    assert cs.params_set(h, "numEvals", "3") == 0
+    assert cs.params_get(h, "n", out.ctypes.data) == 0
+    assert out[0] == 0.0                      # still unset, not 2^30
+    assert cs.params_set(h, "n", "500") == 0
+    assert cs.params_get(h, "n", out.ctypes.data) == 0
+    assert out[0] == 500.0
+    assert cs.params_free(h) == 0
+
+    hs = cs.svds_params_create()
+    # set-time validation: bad codes/names report failure to the C caller
+    assert cs.svds_params_set(hs, "target", "-1") == -1
+    assert cs.svds_params_set(hs, "target", "3") == -1
+    assert cs.svds_params_set(hs, "method", "normaleqations") == -1
+    assert cs.svds_params_set_method(hs, "primme_svds_bogus", "", "") == -1
+    assert cs.svds_params_set_method(hs, "primme_svds_hybrid", "",
+                                     "PRIMME_JDQMR") == 0
+    # method_stage2 round-trips as its primme_preset_method code
+    assert cs.svds_params_get(hs, "methodStage2", out.ctypes.data) == 0
+    from primme_tpu.params import Method
+    assert out[0] == float(list(Method.__members__).index("JDQMR"))
+    assert cs.svds_params_get(hs, "method", out.ctypes.data) == 0
+    assert out[0] == 1.0                      # primme_svds_hybrid
+    assert cs.svds_params_free(hs) == 0
+
+
 @pytest.mark.skipif(shutil.which("gfortran") is None,
                     reason="gfortran not present")
 def test_f90_program():

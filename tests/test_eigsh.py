@@ -548,3 +548,22 @@ def test_profile_event_stream():
     _, _, st2 = eigsh(A, k=4, which="SA", tol=1e-8, return_stats=True,
                       profile=r"nomatch_xyz")
     assert st2["profile"] == {}
+
+
+def test_keyword_forwarding_reflection_labels(tridiag):
+    """Unknown eigsh kwargs are primme_params labels routed through the
+    reflection layer AFTER the preset (primme.pyx:1446 parity); labels
+    that would desync the configuration from the operator are refused."""
+    A, ref = tridiag
+    # a forwarded label reaches the solver config: cap the basis via the
+    # reflection route and confirm through stats
+    vals, _, st = eigsh(A, k=3, which="SA", tol=1e-8, return_stats=True,
+                        maxBasisSize=12, restarting_maxPrevRetain=1)
+    assert_close(vals, ref[:3])
+    for bad_kw in ({"n": 300}, {"numEvals": 5}, {"target": "primme_largest"},
+                   {"numOrthoConst": 1}, {"hermitian": False}):
+        with pytest.raises(ValueError):
+            eigsh(A, k=3, which="SA", tol=1e-8, **bad_kw)
+    # unknown labels still raise KeyError from the reflection layer
+    with pytest.raises(KeyError):
+        eigsh(A, k=3, which="SA", tol=1e-8, noSuchParameter=7)

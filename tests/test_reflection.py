@@ -77,6 +77,26 @@ def test_svds_member_roundtrip():
     assert "primme_svds.primme.max_basis_size = 35" in dump
 
 
+def test_svds_set_member_validates_enums_at_set_time():
+    """The C ABI reports success/failure per call: bad target codes and
+    method names must raise HERE, not at run time (and a negative code
+    must not Python-index into a valid target)."""
+    sp = SvdsParams()
+    for bad in (-1, "-1", 3, "3", 17):
+        with pytest.raises(ValueError):
+            svds_set_member(sp, "target", bad)
+    with pytest.raises(ValueError):
+        svds_set_member(sp, "method", "normaleqations")   # typo
+    with pytest.raises(ValueError):
+        svds_set_member(sp, "method", "primme_svds_bogus")
+    with pytest.raises(ValueError):
+        svds_set_member(sp, "methodStage2", "NOT_A_METHOD")
+    sp = svds_set_member(sp, "methodStage2", "PRIMME_JDQMR")
+    assert sp.method_stage2 == "JDQMR"
+    sp = svds_set_member(sp, "method", "augmented")
+    assert sp.method == "augmented"
+
+
 def test_svds_from_params_end_to_end():
     """The reference's dprimme_svds flow: configuration struct in,
     triplets out — embedded stage overrides must reach the solves."""
