@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..params import PrimmeParams, Method, Target, set_method
-from .solver import (EigsResult, setup_solver, run_segment, extract_result,
-                     make_config, prepare_window)
+from .solver import (EigsResult, setup_solver, extract_result,
+                     make_config, prepare_window, _run_segment_jit)
 
 
 _SEG_OUTER = 10          # outer iterations per measured segment
@@ -79,14 +79,45 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
                                   ortho_const=ortho_const, key=key,
                                   dtype=dtype, shard=shard)
 
-    runners = {
-        "gd": jax.jit(lambda s, end: run_segment(
-            cfg_gd, A, B, K, None, shifts, s, end,
-            monitor=monitor, convtest=convtest)),
-        "jd": jax.jit(lambda s, end: run_segment(
-            cfg_jd, A, B, K, jdqmr_inner_solve, shifts, s, end,
-            monitor=monitor, convtest=convtest)),
-    }
+    # Segments run through the module-level _run_segment_jit (static
+    # cfg/inner_solve/monitor/convtest), so repeated dynamic solves with
+    # the same configuration reuse the compiled loops like solve_eigs.
+    # With a monitor/convtest the static key includes the CLOSURE
+    # identity — usually fresh per call (api.py builds `mon` per solve),
+    # so the shared cache would retain two never-again-hittable
+    # executables per solve; use per-call jits (garbage-collected with
+    # the solve) in that case instead.
+    if monitor is None and convtest is None:
+        def _run(meth, s, end):
+            return _run_segment_jit(
+                cfg_gd if meth == "gd" else cfg_jd, A, B, K,
+                None if meth == "gd" else jdqmr_inner_solve,
+                shifts, s, end, False, None, None)
+    else:
+        from .solver import run_segment
+        _local = {
+            "gd": jax.jit(lambda s, end: run_segment(
+                cfg_gd, A, B, K, None, shifts, s, end,
+                monitor=monitor, convtest=convtest)),
+            "jd": jax.jit(lambda s, end: run_segment(
+                cfg_jd, A, B, K, jdqmr_inner_solve, shifts, s, end,
+                monitor=monitor, convtest=convtest)),
+        }
+
+        def _run(meth, s, end):
+            return _local[meth](s, end)
+
+    # Warm BOTH compiled loops before anything is timed: a seg_end at
+    # the current outer-iteration count compiles the full program but
+    # executes zero iterations (the while_loop cond is false on entry),
+    # so XLA compilation (seconds, vs millisecond segments) never lands
+    # in a measured dt. Without this the first segment of each method
+    # reads a near-zero digits/second rate and the 0.5-weighted EMA
+    # carries half that bias into the next measurement — early GD-vs-
+    # JDQMR switching driven by compile noise, not convergence.
+    _warm_end = jnp.asarray(int(s.stats.num_outer_iterations), jnp.int32)
+    for _m in ("gd", "jd"):
+        jax.block_until_ready(_run(_m, s, _warm_end).done)
 
     _snap = jax.jit(lambda s: prepare_window(
         cfg_gd, s, shifts, B is not None)[0].cands.resnorms)
@@ -113,7 +144,7 @@ def solve_eigs_dynamic(A, p: PrimmeParams, *, B=None, K=None, v0=None,
         if method_trace is not None:
             method_trace.append(current)
         t0 = time.perf_counter()
-        s = runners[current](s, jnp.asarray(it0 + _SEG_OUTER, jnp.int32))
+        s = _run(current, s, jnp.asarray(it0 + _SEG_OUTER, jnp.int32))
         jax.block_until_ready(s.stats.num_outer_iterations)
         dt = max(time.perf_counter() - t0, 1e-9)
         res_a, lock_a, anorm_a = prev_snap = snapshot(s)

@@ -326,7 +326,6 @@ def target_sort_keys(w: jax.Array, target: Target, shifts: jax.Array,
             return -jnp.real(w)
         s = shifts[jnp.minimum(shift_idx, shifts.shape[0] - 1)]
         d = jnp.abs(w - s.astype(w.dtype))
-        big = jnp.asarray(jnp.finfo(jnp.real(w).dtype).max / 8, d.dtype)
         if target == Target.closest_abs:
             return d
         if target == Target.largest_abs:

@@ -553,10 +553,12 @@ def _tolerance(cfg: SolveConfig, anorm):
 
 
 def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
-                   convtest=None, goal=None):
-    """``goal`` (traced int32, default ``cfg.ne``): total locked+converged
-    pairs currently sought — raised above ``ne`` while a verification
-    probe is active so the extra pairs become correction targets."""
+                   convtest=None):
+    """Projected solve + fused residuals + convergence flags for the
+    current candidate window (``prepare_candidates``,
+    ``src/eigs/main_iter.c:1470``). Probe-discovered extra pairs are
+    targeted via the locking-intruder branch below, not a widened
+    goal."""
     c = cfg.cwin
     sidx = jnp.minimum(s.num_locked, shifts.shape[0] - 1)
     if not cfg.hermitian:
@@ -613,9 +615,8 @@ def prepare_window(cfg: SolveConfig, s: SolverState, shifts, has_B: bool,
     # accepted at that level too (stats.maxConvTol semantics,
     # src/eigs/convergence.c:105-146, restart.c:434).
     tol = jnp.maximum(_tolerance(cfg, anorm), s.stats.max_conv_tol)
-    if goal is None:
-        goal = jnp.asarray(cfg.ne, jnp.int32)
-    n_needed = _i32(goal - s.num_locked.astype(jnp.int32))
+    n_needed = _i32(jnp.asarray(cfg.ne, jnp.int32)
+                    - s.num_locked.astype(jnp.int32))
     if cfg.locking:
         # Verification-phase intruders: once ne pairs are locked, a
         # window pair sorting strictly inside the locked set (a probe-
@@ -787,6 +788,11 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     # the [n, pw] probe basis is cheap (pw*n*4B), so width is the right
     # knob, not iterations
     pw = min(max(3 * blk, 32), 48)
+    # large blocks: pw must hold at least the appended block plus a
+    # retained subspace (compress keeps pw - blk columns; pw < 2*blk
+    # would wipe the basis every compression, and pw < blk is a
+    # trace-time _dus shape error)
+    pw = max(pw, 2 * blk)
     has_B = B is not None
     cdt = win.cands.X.dtype
     rdt = real_dtype(cdt)
@@ -1074,7 +1080,10 @@ def _probe_subsolve(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         BP = _dus(BP, BXs.astype(cdt), 0, w) if has_B else BP
         Y = _mv(A, Xs)
         WP = _dus(WP, Y.astype(cdt), 0, w)
-        mv = _i32(mv + blk)
+        # count surviving columns only (the codebase convention for
+        # post-collapse matvec accounting — do_expand counts nc,
+        # _append_probe_block nc): dropped columns are zero vectors
+        mv = _i32(mv + srvp)
         # Incremental projected-matrix update (replaces a full
         # gram(P, WP) per iteration): the new columns' Gram column
         # G = P^H Y lands at [:, w:w+blk], and its Hermitian transpose
@@ -1211,12 +1220,18 @@ def _append_probe_block(cfg: SolveConfig, A, B, s: SolverState,
     # span exhaustion even random replacements collapse to zero, and a
     # zero column counted in b shows up as a fake converged 0-pair
     cn2 = jnp.real(jnp.sum(ores.X.conj() * ores.X, axis=0))
+    # ~(cn2 >= 0.25), not (cn2 < 0.25): both drop small columns, but only
+    # the former also penalizes NaN columns in the ordering (NaN fails
+    # every comparison), keeping srt consistent with the nc count below
     srt = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
-                      + _BIG * (cn2 < 0.25).astype(jnp.int32))
+                      + _BIG * (~(cn2 >= 0.25)).astype(jnp.int32))
     nc = _i32(jnp.sum((cn2 >= 0.25).astype(jnp.int32)))
-    keepf = (jnp.arange(blk) < nc).astype(ores.X.dtype)[None, :]
-    Xs = ores.X[:, srt] * keepf
-    BXs = ores.BX[:, srt] * keepf if B is not None else Xs
+    # where(), not multiply: a NaN column (singular Cholesky inside
+    # block_ortho at span exhaustion) times 0 is still NaN and would
+    # poison the basis slice it is written into
+    keepf = (jnp.arange(blk) < nc)[None, :]
+    Xs = jnp.where(keepf, ores.X[:, srt], 0)
+    BXs = jnp.where(keepf, ores.BX[:, srt], 0) if B is not None else Xs
     V = _dus(s.V, Xs.astype(s.V.dtype), 0, s.b)
     BV = (_dus(s.BV, BXs.astype(s.BV.dtype), 0, s.b)
           if B is not None else s.BV)
@@ -1665,8 +1680,10 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
     # eigenvalue 0). Compact surviving columns to the front.
     def _survivors(o):
         cn2 = jnp.real(jnp.sum(o.X.conj() * o.X, axis=0))
+        # ~(cn2 >= 0.25) also penalizes NaN columns (a singular Cholesky
+        # inside block_ortho at span exhaustion) in the ordering
         srt = jnp.argsort(jnp.arange(blk, dtype=jnp.int32)
-                          + _BIG * (cn2 < 0.25).astype(jnp.int32))
+                          + _BIG * (~(cn2 >= 0.25)).astype(jnp.int32))
         srv = _i32(jnp.sum((cn2 >= 0.25).astype(jnp.int32)))
         Xc = o.X[:, srt]
         BXc = o.BX[:, srt] if B is not None else Xc
@@ -1693,9 +1710,11 @@ def do_expand(cfg: SolveConfig, A, B, K, s: SolverState, win: Window,
         lambda args: (args[0], srv, args[1]),
         (ores, key))
     nc = jnp.minimum(nc, srv)
-    keepf = (jnp.arange(blk) < nc).astype(ores.X.dtype)[None, :]
-    oX = ores.X * keepf
-    oBX = ores.BX * keepf if B is not None else oX
+    # where(), not multiply: NaN * 0 is still NaN and all blk columns
+    # are written into the basis below
+    keepf = (jnp.arange(blk) < nc)[None, :]
+    oX = jnp.where(keepf, ores.X, 0)
+    oBX = jnp.where(keepf, ores.BX, 0) if B is not None else oX
     ores = ores._replace(X=oX, BX=oBX)
 
     V = _dus(s.V, ores.X.astype(s.V.dtype), 0, s.b)
@@ -1780,7 +1799,9 @@ def do_reset(cfg: SolveConfig, A, B, s: SolverState) -> SolverState:
     nkeep = _i32(jnp.sum(good.astype(jnp.int32)))
     has_locked = cfg.locking or cfg.noc > 0
     stats = s.stats._replace(
-        num_matvecs=_i32(s.stats.num_matvecs + s.b),
+        # nkeep, not s.b: whitening zeroes the rank-deficient columns,
+        # so only the surviving basis columns carry real A-applications
+        num_matvecs=_i32(s.stats.num_matvecs + nkeep),
         num_resets=_i32(s.stats.num_resets + 1),
         estimate_resid_error=jnp.zeros_like(s.stats.estimate_resid_error),
         num_global_sum=_i32(s.stats.num_global_sum + 2
@@ -1817,6 +1838,14 @@ def setup_solver(A, p: PrimmeParams, *, B=None, v0=None,
     if inner_trace_cap:
         cfg = cfg._replace(inner_trace_cap=int(inner_trace_cap))
     dtype = jnp.dtype(dtype or A.dtype)   # basis STORAGE dtype
+    if not p.hermitian and not jnp.issubdtype(dtype, jnp.complexfloating):
+        # KIND(N) solves carry complex Ritz values/vectors: a real basis
+        # dtype would make the correction block (complex, from
+        # solve_H_normal's hvecs) and the basis disagree inside lax.cond
+        # branches (trace-time TypeError). Promote storage to the
+        # matching complex dtype — api.eigs does this coercion at its
+        # boundary; the core entry point must be safe too.
+        dtype = jnp.promote_types(dtype, jnp.complex64)
     cdt = la.compute_dtype(dtype)         # small-dense / accumulation dtype
     rdt = real_dtype(cdt)
     if cdt != dtype:

@@ -284,6 +284,7 @@ def set_method(method: Method, p: PrimmeParams, *,
 def resolve_defaults(p: PrimmeParams) -> PrimmeParams:
     """Fill remaining UNSET/0 fields (``primme_set_defaults``,
     ``src/eigs/primme_interface.c:543-618``)."""
+    mrs_was_set = p.min_restart_size > 0   # explicit (vs resolved below)
     if p.max_block_size == 0:
         p = p.with_(max_block_size=1)
     if p.max_prev_retain == UNSET:
@@ -330,6 +331,34 @@ def resolve_defaults(p: PrimmeParams) -> PrimmeParams:
         # while locking compacts them out for free (argsort permutation)
         # and the practical-convergence test keeps deflation stable.
         p = p.with_(locking=1)
+
+    if p.locking == 0 and p.n > 2 and p.min_restart_size < p.num_evals:
+        # Soft locking keeps every converged pair in the basis, so a
+        # restart must be able to carry all numEvals candidates — the
+        # reference REJECTS minRestartSize < numEvals with locking=0
+        # outright (check_input error -33, src/eigs/primme_c.c:507);
+        # left unchecked the configuration stalls (converged pairs
+        # consume the whole restart budget and the unconverged tail is
+        # re-derived from scratch every restart until the stagnation
+        # reset gives up). Grow the restart size when the basis has
+        # room — strictly more permissive than the reference — and
+        # reject with the reference's error otherwise.
+        if p.num_evals + p.max_block_size <= p.max_basis_size:
+            if mrs_was_set:
+                import warnings
+                warnings.warn(
+                    f"locking=0 with minRestartSize={p.min_restart_size}"
+                    f" < numEvals={p.num_evals} is invalid (reference "
+                    "error -33); raising minRestartSize to numEvals",
+                    stacklevel=2)
+            p = p.with_(min_restart_size=p.num_evals)
+        else:
+            raise ValueError(
+                "soft locking (locking=0) requires minRestartSize >= "
+                f"numEvals (reference check_input error -33): numEvals="
+                f"{p.num_evals}, minRestartSize={p.min_restart_size}, "
+                f"maxBasisSize={p.max_basis_size}. Enable locking=1 or "
+                "raise maxBasisSize.")
 
     # Clamp prev-retain so restart basis fits.
     mpr = min(p.max_prev_retain,

@@ -567,3 +567,30 @@ def test_keyword_forwarding_reflection_labels(tridiag):
     # unknown labels still raise KeyError from the reflection layer
     with pytest.raises(KeyError):
         eigsh(A, k=3, which="SA", tol=1e-8, noSuchParameter=7)
+
+
+def test_large_block_probe_width():
+    """maxBlockSize > the probe's 48-column cap must not crash the
+    spectrum-verification probe (trace-time _dus shape error before the
+    probe width was floored at 2*blk)."""
+    n = 300
+    A = np.diag(np.linspace(1, 30, n))
+    vals, _ = eigsh(A, k=8, which="SA", tol=1e-8, maxBlockSize=50)
+    assert_close(vals, np.linspace(1, 30, n)[:8], tol=1e-8)
+
+
+def test_soft_locking_tight_basis(tridiag):
+    """locking=0 with minRestartSize < numEvals: the reference REJECTS
+    this (check_input error -33, primme_c.c:507); this framework grows
+    the restart size when the basis has room (previously the config
+    stalled into give_up with wrong eigenvalues) and raises the
+    reference's error when it provably cannot."""
+    A, ref = tridiag
+    # room to grow: mrs auto-raised to numEvals, converges cleanly
+    vals, _ = eigsh(A, k=6, which="SA", tol=1e-9, ncv=8, locking=False)
+    assert_close(vals, ref[:6], tol=1e-9)
+    vals, _ = eigsh(A, k=2, which="SA", tol=1e-9, ncv=3, locking=False)
+    assert_close(vals, ref[:2], tol=1e-9)
+    # no room: numEvals + maxBlockSize > maxBasisSize -> reference -33
+    with pytest.raises(ValueError, match="-33"):
+        eigsh(A, k=6, which="SA", tol=1e-9, ncv=6, locking=False)

@@ -171,3 +171,24 @@ def test_normal_n2k():
     assert _match(vals, exp) < 1e-7 * np.abs(d).max()
     R = A @ vecs - vecs * vals[None, :]
     assert np.linalg.norm(R, axis=0).max() < 1e-6 * np.abs(d).max()
+
+
+def test_core_entry_real_storage_promoted():
+    """solve_eigs(hermitian=False) with a real operator dtype must
+    promote the basis storage to complex (KIND(N) Ritz vectors are
+    complex; previously a trace-time lax.cond dtype mismatch)."""
+    import jax.numpy as jnp
+    from primme_tpu.core.solver import solve_eigs
+    from primme_tpu.params import PrimmeParams, resolve_defaults
+    from primme_tpu.operators import aslinearoperator
+
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.normal(size=(40, 40)))
+    d = np.sort(rng.normal(size=40))
+    An = Q @ np.diag(d) @ Q.T     # symmetric => normal, real storage
+    p = resolve_defaults(PrimmeParams(n=40, num_evals=3, eps=1e-9,
+                                      hermitian=False))
+    r = solve_eigs(aslinearoperator(np.asarray(An)), p)
+    assert jnp.issubdtype(r.evecs.dtype, jnp.complexfloating)
+    got = np.sort(np.asarray(r.evals).real)
+    assert np.abs(got - d[:3]).max() < 1e-7
