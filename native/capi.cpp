@@ -92,6 +92,9 @@ int call_int(const char *name, PyObject *args) {
   if (r && PyLong_Check(r)) rc = static_cast<int>(PyLong_AsLong(r));
   if (!r) {
     fetch_pyerr("python call raised");
+  } else if (!PyLong_Check(r)) {
+    // a non-integer return must not surface a STALE cached message
+    g_err = std::string("unexpected non-integer return from ") + name;
   } else if (rc != 0) {
     PyObject *le = PyObject_CallMethod(g_mod, "last_error", nullptr);
     if (le) {
@@ -332,16 +335,18 @@ int ptpu_svds_run(long long h, long long m, long long n, long long nnz,
 
 // --- F77 bindings ----------------------------------------------------------
 // All-pointer arguments; `target` uses the primme_target integer order
-// (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs, 4 closest_geq,
-// 5 closest_leq), like the reference's label-based F77 surface
-// (include/primme_eigs_f77.h). No hidden string-length arguments.
+// (0 smallest, 1 largest, 2 closest_geq, 3 closest_leq, 4 closest_abs,
+// 5 largest_abs — include/primme_eigs.h:47-54), like the reference's
+// label-based F77 surface (include/primme_eigs_f77.h). No hidden
+// string-length arguments.
 
 void ptpu_eigsh_csr_(const long long *n, const long long *nnz,
                      const long long *indptr, const long long *indices,
                      const double *data, const int *k, const int *target,
                      const double *tol, const double *sigma, double *evals,
                      double *evecs, double *resnorms, int *ierr) {
-  static const char *codes[] = {"SA", "LA", "SM", "LM", "CGT", "CLT"};
+  // primme_target enum order: geq/leq sit at codes 2-3, abs targets at 4-5
+  static const char *codes[] = {"SA", "LA", "CGT", "CLT", "SM", "LM"};
   const char *w = (*target >= 0 && *target <= 5) ? codes[*target] : "SA";
   *ierr = ptpu_eigsh_csr(*n, *nnz, indptr, indices, data, *k, w, *tol, "",
                          *sigma, evals, evecs, resnorms);
@@ -352,7 +357,8 @@ void ptpu_eigsh_matvec_(const long long *n, ptpu_matvec_f matvec, void *ctx,
                         const double *sigma, const long long *max_matvecs,
                         double *evals, double *evecs, double *resnorms,
                         int *ierr) {
-  static const char *codes[] = {"SA", "LA", "SM", "LM", "CGT", "CLT"};
+  // primme_target enum order: geq/leq sit at codes 2-3, abs targets at 4-5
+  static const char *codes[] = {"SA", "LA", "CGT", "CLT", "SM", "LM"};
   const char *w = (*target >= 0 && *target <= 5) ? codes[*target] : "SA";
   *ierr = ptpu_eigsh_matvec(*n, matvec, ctx, *k, w, *tol, "", *sigma,
                             *max_matvecs, evals, evecs, resnorms);

@@ -58,9 +58,7 @@ bool parse_mtx(const char* path, Coo* out) {
   }
 
   // skip comments
-  long header_pos;
   do {
-    header_pos = std::ftell(f);
     if (!std::fgets(line, sizeof line, f)) {
       out->error = "missing size line";
       std::fclose(f);

@@ -68,13 +68,16 @@ def _csr(n_rows: int, n_cols: int, nnz: int, indptr: int, indices: int,
                          shape=(n_rows, n_cols))
 
 
-_WHICH_EIG = {0: "SA", 1: "LA", 2: "SM", 3: "LM", 4: "CGT", 5: "CLT"}
+_WHICH_EIG = {0: "SA", 1: "LA", 2: "CGT", 3: "CLT", 4: "SM", 5: "LM"}
 
 
 def _which_str(which) -> str:
     """Accept a string or the F77 shim's integer code
-    (0 smallest, 1 largest, 2 closest_abs, 3 largest_abs,
-    4 closest_geq, 5 closest_leq — the ``primme_target`` order)."""
+    (0 smallest, 1 largest, 2 closest_geq, 3 closest_leq,
+    4 closest_abs, 5 largest_abs — the ``primme_target`` enum order,
+    ``include/primme_eigs.h:47-54``; also the order this module's
+    ``constant_info`` reports, so a value read back via
+    ``params_get("target")`` feeds straight into the F77 surface)."""
     if isinstance(which, (int, np.integer)):
         return _WHICH_EIG[int(which)]
     return str(which)
@@ -93,7 +96,9 @@ def eigsh_csr(n: int, nnz: int, indptr: int, indices: int, data: int,
         if method:
             kw["method"] = method
         w = _which_str(which)
-        if w in ("SM", "CGT", "CLT"):
+        if w in ("SM", "CGT", "CLT", "LM"):
+            # LM (largest_abs) also takes a shift: farthest FROM sigma
+            # (the reference pairs primme_largest_abs with targetShifts)
             kw["sigma"] = float(sigma)
         ev, X = eigsh(A, k=k, which=w, tol=float(tol),
                       raise_for_unconverged=False, **kw)
@@ -166,7 +171,9 @@ def eigsh_matvec(n: int, fnaddr: int, ctx: int, k: int, which,
         if maxiter > 0:
             kw["maxMatvecs"] = int(maxiter)
         w = _which_str(which)
-        if w in ("SM", "CGT", "CLT"):
+        if w in ("SM", "CGT", "CLT", "LM"):
+            # LM (largest_abs) also takes a shift: farthest FROM sigma
+            # (the reference pairs primme_largest_abs with targetShifts)
             kw["sigma"] = float(sigma)
         ev, X, st = eigsh(A, k=k, which=w, tol=float(tol),
                           return_stats=True, raise_for_unconverged=False,
@@ -352,12 +359,20 @@ def eigsh_run(h: int, n: int, nnz: int, indptr: int, indices: int,
         # the UNSET sentinel when no method preset was applied);
         # resolve_defaults is idempotent, solve_eigs re-runs it freely
         p = resolve_defaults(_params_build(st, int(n)))
-        inner = None
-        if p.max_inner_iterations != 0:
-            from .core.inner import jdqmr_inner_solve
+        if p.dynamic_method_switch:
+            # PRIMME_DYNAMIC through the handle surface gets the same
+            # measured GD+k <-> JDQMR switching the Python API delivers
+            from .core.dynamic import solve_eigs_dynamic
 
-            inner = jdqmr_inner_solve
-        res = solve_eigs(Aop, p, K=K, inner_solve=inner)
+            res = solve_eigs_dynamic(Aop, p, K=K,
+                                     has_precond=K is not None)
+        else:
+            inner = None
+            if p.max_inner_iterations != 0:
+                from .core.inner import jdqmr_inner_solve
+
+                inner = jdqmr_inner_solve
+            res = solve_eigs(Aop, p, K=K, inner_solve=inner)
         k = p.num_evals
         ev = np.asarray(res.evals, np.float64)
         X = np.asarray(res.evecs, np.float64)
@@ -426,21 +441,25 @@ def svds_params_set_method(h: int, method: str, m1: str, m2: str) -> int:
         from .params import Method
 
         st = _SVDS_PARAMS[int(h)]
+        # build the new configuration on locals and commit only after
+        # every argument validated — a failed call must leave the handle
+        # untouched (the reference's set-call atomicity)
+        sp, m1_new = st["sp"], st["m1"]
         if method:
             # reference ordering semantics (primme_svds_set_method
             # resets the embedded stage configs before applying the
             # preset): stage members set BEFORE the method call are
             # cleared, members set AFTER it override the preset — same
             # contract the eigsh handle surface keeps via ops replay
-            st["sp"] = svds_set_member(
-                st["sp"].with_(primme={}, primme_stage2={}),
-                "method", method)
-            st["m1"] = ""
+            sp = svds_set_member(sp.with_(primme={}, primme_stage2={}),
+                                 "method", method)
+            m1_new = ""
         if m2:
-            st["sp"] = svds_set_member(st["sp"], "methodStage2", m2)
+            sp = svds_set_member(sp, "methodStage2", m2)
         if m1:
             Method[str(m1).replace("PRIMME_", "")]  # validate now
-            st["m1"] = str(m1)
+            m1_new = str(m1)
+        st["sp"], st["m1"] = sp, m1_new
         return 0
     except Exception as e:  # noqa: BLE001
         return _set_error(e)
@@ -454,6 +473,23 @@ def svds_params_get(h: int, label: str, out: int) -> int:
         v = svds_get_member(_SVDS_PARAMS[int(h)]["sp"], label)
         if isinstance(v, tuple):
             v = v[0] if v else 0.0
+        import enum as _enum
+        if isinstance(v, _enum.Enum):
+            # embedded stage labels (primme.projection, primme.target,
+            # ...) store the eigs reflection's enum objects — round-trip
+            # them as reference constant codes like params_get does
+            from .params import constant_info
+
+            cval = None
+            for pref in ("primme_", "primme_proj_", "primme_init_"):
+                try:
+                    cval = constant_info(pref + str(v.value))
+                    break
+                except KeyError:
+                    continue
+            if cval is None:
+                raise KeyError(f"no constant for {v!r}")
+            v = cval
         if isinstance(v, str):
             # enum-valued string members round-trip as their reference
             # constant codes (primme_svds_get_member returns the enum

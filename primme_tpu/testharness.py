@@ -375,9 +375,31 @@ def run_svds_config(path: str, base_dir: str = None,
     f = cfg.fields
     k = int(f.get("numSvals", 6))
     eps = float(f.get("eps", 1e-6))
-    which = {"primme_svds_largest": "LM",
-             "primme_svds_smallest": "SM"}.get(
-                 f.get("target", "primme_svds_largest"), "LM")
+    tgt = f.get("target", "primme_svds_largest")
+    if tgt == "primme_svds_closest_abs":
+        # numeric `which` = closest_abs about the (first) target shift
+        which = float(str(f.get("targetShifts", "0")).split()[0])
+    elif tgt in ("primme_svds_largest", "primme_svds_smallest"):
+        which = "LM" if tgt == "primme_svds_largest" else "SM"
+    else:
+        raise KeyError(f"unknown primme_svds.target: {tgt!r}")
+    # svds-level solver fields beyond the reference configs' own usage
+    # (numSvals/eps/target/printLevel) forward to svds() — silently
+    # ignoring a config key would misreport the config's behavior
+    extra = {}
+    if "maxBlockSize" in f:
+        extra["maxBlockSize"] = int(f["maxBlockSize"])
+    if "maxBasisSize" in f:
+        extra["ncv"] = int(f["maxBasisSize"])
+    if "aNorm" in f:
+        extra["aNorm"] = float(f["aNorm"])
+    maxiter = int(f.get("maxMatvecs", 250000))
+    known = {"numSvals", "eps", "target", "targetShifts", "printLevel",
+             "maxBlockSize", "maxBasisSize", "maxMatvecs", "aNorm"}
+    unknown = [kk for kk in f
+               if "." not in kk and kk not in known]
+    if unknown:
+        raise KeyError(f"unsupported primme_svds config keys: {unknown}")
     method = "hybrid"
     for line in open(path):
         ln = line.split("//")[0].strip()
@@ -410,9 +432,9 @@ def run_svds_config(path: str, base_dir: str = None,
     # failed CheckResult rather than raising mid-harness
     U, svals, Vt, sv_stats = svds_fn(
         A, k=k, tol=eps, which=which, method=method,
-        maxiter=250000, stage1_params=s1 or None,
+        maxiter=maxiter, stage1_params=s1 or None,
         stage2_params=s2 or None, return_stats=True,
-        raise_for_unconverged=False, **prec)
+        raise_for_unconverged=False, **prec, **extra)
     save = save_x_file or (
         os.path.join(base_dir, cfg.save_x_file) if cfg.save_x_file else "")
     if save:
@@ -446,9 +468,15 @@ def run_svds_config(path: str, base_dir: str = None,
     if which == "LM":
         out.check(abs(np.max(svals) - sref[0]) < svtol,
                   f"largest sval missed: {np.max(svals)} vs {sref[0]}")
-    else:
+    elif which == "SM":
         out.check(abs(np.min(svals) - np.min(sref)) < svtol,
                   f"smallest sval missed: {np.min(svals)} vs {np.min(sref)}")
+    else:
+        # numeric which (closest_abs about a shift): the closest true
+        # singular value to the shift must be in the returned set
+        close = sref[np.argmin(np.abs(sref - float(which)))]
+        out.check(np.abs(svals - close).min() < svtol,
+                  f"closest sval to {which} missed: {close}")
 
     # angles vs stored golden vectors (skip when the returned set differs
     # legitimately inside a cluster)

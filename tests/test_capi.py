@@ -78,6 +78,49 @@ def test_params_handle_surface_python_level():
     assert cs.svds_params_free(hs) == 0
 
 
+def test_f77_target_codes_follow_primme_target_order():
+    """Integer target codes must follow the reference primme_target enum
+    (0 smallest, 1 largest, 2 closest_geq, 3 closest_leq, 4 closest_abs,
+    5 largest_abs — include/primme_eigs.h:47-54), consistent with this
+    package's own constant_info, so a value read back from
+    params_get("target") feeds the F77 surface unchanged."""
+    import numpy as np
+    import scipy.sparse as sp
+    from primme_tpu import capi_support as cs
+    from primme_tpu.params import constant_info
+
+    assert cs._which_str(constant_info("primme_smallest")) == "SA"
+    assert cs._which_str(constant_info("primme_largest")) == "LA"
+    assert cs._which_str(constant_info("primme_closest_geq")) == "CGT"
+    assert cs._which_str(constant_info("primme_closest_leq")) == "CLT"
+    assert cs._which_str(constant_info("primme_closest_abs")) == "SM"
+    assert cs._which_str(constant_info("primme_largest_abs")) == "LM"
+
+    # closest_abs (code 4) about sigma=2.0 end to end through the CSR
+    # entry, and largest_abs (code 5) must NOT ignore sigma
+    n = 60
+    d = np.linspace(1.0, 6.0, n)
+    A = sp.diags(d).tocsr().astype(np.float64)
+    ip = A.indptr.astype(np.int64)
+    ix = A.indices.astype(np.int64)
+    dv = A.data.astype(np.float64)
+    ev = np.zeros(2)
+    X = np.zeros(2 * n)
+    rn = np.zeros(2)
+    rc = cs.eigsh_csr(n, len(dv), ip.ctypes.data, ix.ctypes.data,
+                      dv.ctypes.data, 2, 4, 1e-9, "", 2.0,
+                      ev.ctypes.data, X.ctypes.data, rn.ctypes.data)
+    assert rc == 0, cs.last_error()
+    close = d[np.argsort(np.abs(d - 2.0))][:2]
+    assert np.abs(np.sort(ev) - np.sort(close)).max() < 1e-7
+    rc = cs.eigsh_csr(n, len(dv), ip.ctypes.data, ix.ctypes.data,
+                      dv.ctypes.data, 2, 5, 1e-9, "", 2.0,
+                      ev.ctypes.data, X.ctypes.data, rn.ctypes.data)
+    assert rc == 0, cs.last_error()
+    far = d[np.argsort(-np.abs(d - 2.0))][:2]
+    assert np.abs(np.sort(ev) - np.sort(far)).max() < 1e-7
+
+
 @pytest.mark.skipif(shutil.which("gfortran") is None,
                     reason="gfortran not present")
 def test_f90_program():
