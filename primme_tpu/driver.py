@@ -29,16 +29,6 @@ import sys
 import time
 
 
-def _is_svds_config(path: str) -> bool:
-    """SVD configs (test_2??) set ``primme_svds.*`` fields or an
-    ``primme_svds_*`` method (``tests/driversvds.c`` reads the same
-    key=value format with the svds prefix)."""
-    for line in open(path):
-        ln = line.split("//")[0].strip()
-        if ln.startswith("primme_svds.") or (
-                ln.startswith("method") and "primme_svds_" in ln):
-            return True
-    return False
 
 
 def main(argv=None) -> int:
@@ -87,7 +77,10 @@ def main(argv=None) -> int:
     # with status 1 and a message, like the reference driver — scripted
     # make-test-style use must see a clean failure, not a traceback
     try:
-        if _is_svds_config(args.config):
+        # cfg.is_svds: the config sets primme_svds.* fields or an
+        # primme_svds_* method (tests/driversvds.c reads the same
+        # key=value format with the svds prefix)
+        if cfg.is_svds:
             r = run_svds_config(args.config, base_dir=args.base_dir,
                                 eps_slack=args.eps_slack, dtype=dtype,
                                 save_x_file=args.save_x)

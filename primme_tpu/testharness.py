@@ -50,6 +50,8 @@ class TestConfig:
     shift: float = 0.0
     method: Optional[Method] = None
     fields: dict = field(default_factory=dict)   # primme.* -> raw string
+    is_svds: bool = False          # config targets the svds driver
+    svds_method: str = ""          # 'method = primme_svds_*' line, stripped
 
 
 def parse_config(path: str) -> TestConfig:
@@ -75,9 +77,14 @@ def parse_config(path: str) -> TestConfig:
         elif k == "method":
             # svds drivers use 'method = primme_svds_*' (consumed by
             # run_svds_config); only eigs preset names map to Method
-            if not v.startswith("primme_svds"):
+            if v.startswith("primme_svds"):
+                cfg.svds_method = v.replace("primme_svds_", "")
+                cfg.is_svds = True
+            else:
                 cfg.method = Method[v.replace("PRIMME_", "")]
         elif k.startswith("primme.") or k.startswith("primme_svds."):
+            if k.startswith("primme_svds."):
+                cfg.is_svds = True
             cfg.fields[k.split(".", 1)[1]] = v
     return cfg
 
@@ -400,11 +407,7 @@ def run_svds_config(path: str, base_dir: str = None,
                if "." not in kk and kk not in known]
     if unknown:
         raise KeyError(f"unsupported primme_svds config keys: {unknown}")
-    method = "hybrid"
-    for line in open(path):
-        ln = line.split("//")[0].strip()
-        if ln.startswith("method") and "svds" in ln:
-            method = ln.split("=", 1)[1].strip().replace("primme_svds_", "")
+    method = cfg.svds_method or "hybrid"
 
     # jacobi PrecChoice -> diag(A^H A) preconditioner for stage 1
     # (driversvds.c jacobi builds 1/diag of the normal-equations operator)
